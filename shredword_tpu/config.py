@@ -1,0 +1,57 @@
+"""Configuration for BPE training.
+
+Parity with the reference `BPEConfig` (bpe.h:43-48) + Python defaults
+(trainer.py:6), with the same defaulting rules as create_trainer
+(bpe.cpp:124-130) — but applied explicitly and validated up front.
+
+Note the reference's Python default `unk_id=0` collides with byte 0x00
+(SURVEY.md §5); we keep it for API parity but default to -1 in our own
+high-level entry points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from .errors import ConfigError
+
+
+@dataclasses.dataclass(frozen=True)
+class BPEConfig:
+    target_vocab_size: int = 8192
+    unk_id: int = -1
+    character_coverage: float = 0.995
+    min_pair_freq: int = 2000
+
+    # TPU-trainer knobs (no reference counterpart)
+    merges_per_device_call: int = 256   # on-device merge steps per host loop
+    compact_every: int = 64             # host-side re-compactions (steps)
+    tie_break: str = "lex"              # "lex" | "faithful" (CPU selector)
+    backend: str = "tpu"                # "tpu" | "cpu"
+
+    def normalized(self) -> "BPEConfig":
+        """Apply reference defaulting rules (bpe.cpp:124-130)."""
+        cov = self.character_coverage
+        if cov <= 0.0 or cov >= 1.0:
+            cov = 0.995
+        mpf = self.min_pair_freq
+        if mpf == 0:
+            mpf = 2000
+        return dataclasses.replace(self, character_coverage=cov,
+                                   min_pair_freq=mpf)
+
+    def validate(self) -> "BPEConfig":
+        if self.target_vocab_size < 256:
+            raise ConfigError(
+                f"target_vocab_size must be >= 256, got {self.target_vocab_size}")
+        if self.min_pair_freq < 0:
+            raise ConfigError("min_pair_freq must be >= 0")
+        if self.tie_break not in ("lex", "faithful"):
+            raise ConfigError(f"unknown tie_break {self.tie_break!r}")
+        if self.backend not in ("tpu", "cpu"):
+            raise ConfigError(f"unknown backend {self.backend!r}")
+        return self.normalized()
+
+    @property
+    def target_merges(self) -> int:
+        return self.target_vocab_size - 256

@@ -1,0 +1,269 @@
+"""ctypes bindings for the native runtime.
+
+Typed, buffer-based FFI: handles are opaque `c_void_p`, arrays cross the
+boundary as numpy buffers with explicit sizes (fixing the reference's
+fragile half-declared ctypes structs, cbase.py:32-42).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import build as _build
+
+
+class ShredConfigC(ctypes.Structure):
+    _fields_ = [
+        ("target_vocab_size", ctypes.c_int64),
+        ("unk_id", ctypes.c_int32),
+        ("character_coverage", ctypes.c_double),
+        ("min_pair_freq", ctypes.c_uint64),
+    ]
+
+
+_lib = None
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        _lib = ctypes.CDLL(_build.build())
+        _declare(_lib)
+    return _lib
+
+
+def _declare(L: ctypes.CDLL) -> None:
+    p = ctypes.c_void_p
+    i64 = ctypes.c_int64
+    L.shred_corpus_from_bytes.argtypes = [ctypes.c_char_p, i64, ctypes.c_int, ctypes.c_int]
+    L.shred_corpus_from_bytes.restype = p
+    L.shred_corpus_from_file.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    L.shred_corpus_from_file.restype = p
+    for fn in ("shred_corpus_num_words", "shred_corpus_unique_bytes",
+               "shred_corpus_total_raw_bytes", "shred_corpus_total_occurrences"):
+        getattr(L, fn).argtypes = [p]
+        getattr(L, fn).restype = i64
+    L.shred_corpus_export.argtypes = [p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    L.shred_corpus_export.restype = None
+    L.shred_corpus_free.argtypes = [p]
+    L.shred_corpus_free.restype = None
+
+    L.shred_trainer_create.argtypes = [ctypes.POINTER(ShredConfigC)]
+    L.shred_trainer_create.restype = p
+    L.shred_trainer_load.argtypes = [p, p]
+    L.shred_trainer_load.restype = None
+    L.shred_trainer_train.argtypes = [p, ctypes.c_int]
+    L.shred_trainer_train.restype = ctypes.c_int
+    L.shred_trainer_num_merges.argtypes = [p]
+    L.shred_trainer_num_merges.restype = i64
+    L.shred_trainer_get_merges.argtypes = [p, ctypes.c_void_p]
+    L.shred_trainer_get_merges.restype = None
+    L.shred_trainer_get_merge_freqs.argtypes = [p, ctypes.c_void_p]
+    L.shred_trainer_get_merge_freqs.restype = None
+    L.shred_trainer_save.argtypes = [p, ctypes.c_char_p, ctypes.c_char_p]
+    L.shred_trainer_save.restype = ctypes.c_int
+    L.shred_trainer_token_count.argtypes = [p]
+    L.shred_trainer_token_count.restype = i64
+    L.shred_trainer_export_tokens.argtypes = [p, ctypes.c_void_p, ctypes.c_void_p]
+    L.shred_trainer_export_tokens.restype = None
+    L.shred_trainer_token_freqs.argtypes = [p, ctypes.c_void_p, i64]
+    L.shred_trainer_token_freqs.restype = None
+    L.shred_trainer_kept_chars.argtypes = [p]
+    L.shred_trainer_kept_chars.restype = ctypes.c_int
+    L.shred_trainer_unique_chars.argtypes = [p]
+    L.shred_trainer_unique_chars.restype = ctypes.c_int
+    L.shred_trainer_free.argtypes = [p]
+    L.shred_trainer_free.restype = None
+
+    L.shred_encoder_create.argtypes = [ctypes.c_void_p, i64]
+    L.shred_encoder_create.restype = p
+    L.shred_encode_words.argtypes = [p, ctypes.c_void_p, ctypes.c_void_p, i64,
+                                     ctypes.c_int, ctypes.c_void_p, i64]
+    L.shred_encode_words.restype = i64
+    L.shred_encoder_free.argtypes = [p]
+    L.shred_encoder_free.restype = None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+@dataclass
+class CorpusArrays:
+    """Unique words as flat arrays — the hand-off format for the TPU path."""
+
+    word_bytes: np.ndarray   # uint8 [unique_bytes], words concatenated
+    offsets: np.ndarray      # int64 [n_words + 1]
+    counts: np.ndarray       # uint64 [n_words]
+    total_raw_bytes: int
+    total_occurrences: int
+
+    @property
+    def n_words(self) -> int:
+        return len(self.counts)
+
+    def word(self, i: int) -> bytes:
+        return self.word_bytes[self.offsets[i]:self.offsets[i + 1]].tobytes()
+
+
+class NativeCorpus:
+    """Owning wrapper over a native corpus handle."""
+
+    def __init__(self, handle):
+        if not handle:
+            raise IOError("corpus load failed")
+        self._h = handle
+
+    @classmethod
+    def from_bytes(cls, data: bytes, faithful_order: bool = False,
+                   nthreads: int = 0) -> "NativeCorpus":
+        h = lib().shred_corpus_from_bytes(data, len(data),
+                                          int(faithful_order), nthreads)
+        return cls(h)
+
+    @classmethod
+    def from_file(cls, path: str, faithful_order: bool = False,
+                  nthreads: int = 0) -> "NativeCorpus":
+        h = lib().shred_corpus_from_file(path.encode(), int(faithful_order),
+                                         nthreads)
+        if not h:
+            raise IOError(f"Failed to load corpus from {path}")
+        return cls(h)
+
+    def arrays(self) -> CorpusArrays:
+        L = lib()
+        n = L.shred_corpus_num_words(self._h)
+        nbytes = L.shred_corpus_unique_bytes(self._h)
+        word_bytes = np.empty(nbytes, dtype=np.uint8)
+        offsets = np.empty(n + 1, dtype=np.int64)
+        counts = np.empty(n, dtype=np.uint64)
+        L.shred_corpus_export(self._h, _ptr(word_bytes), _ptr(offsets), _ptr(counts))
+        return CorpusArrays(
+            word_bytes=word_bytes, offsets=offsets, counts=counts,
+            total_raw_bytes=L.shred_corpus_total_raw_bytes(self._h),
+            total_occurrences=L.shred_corpus_total_occurrences(self._h),
+        )
+
+    def free(self) -> None:
+        if self._h:
+            lib().shred_corpus_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.free()
+        except Exception:
+            pass
+
+
+class FaithfulTrainer:
+    """Reference-faithful CPU trainer (conformance oracle)."""
+
+    def __init__(self, target_vocab_size=8192, unk_id=-1,
+                 character_coverage=0.995, min_pair_freq=2000):
+        cfg = ShredConfigC(target_vocab_size=target_vocab_size, unk_id=unk_id,
+                           character_coverage=character_coverage,
+                           min_pair_freq=min_pair_freq)
+        self._h = lib().shred_trainer_create(ctypes.byref(cfg))
+        if not self._h:
+            raise RuntimeError("Failed to create faithful trainer")
+
+    def load(self, corpus: NativeCorpus) -> None:
+        lib().shred_trainer_load(self._h, corpus._h)
+
+    def train(self, max_merges: int = -1) -> int:
+        return lib().shred_trainer_train(self._h, max_merges)
+
+    @property
+    def num_merges(self) -> int:
+        return lib().shred_trainer_num_merges(self._h)
+
+    def merges(self) -> np.ndarray:
+        n = self.num_merges
+        out = np.empty((n, 2), dtype=np.int32)
+        lib().shred_trainer_get_merges(self._h, _ptr(out))
+        return out
+
+    def merge_freqs(self) -> np.ndarray:
+        n = self.num_merges
+        out = np.empty(n, dtype=np.uint64)
+        lib().shred_trainer_get_merge_freqs(self._h, _ptr(out))
+        return out
+
+    def save(self, model_path: str, vocab_path: str) -> None:
+        rc = lib().shred_trainer_save(self._h, model_path.encode(),
+                                      vocab_path.encode())
+        if rc != 0:
+            raise IOError("save failed")
+
+    def tokens(self) -> tuple[np.ndarray, np.ndarray]:
+        n = lib().shred_trainer_token_count(self._h)
+        toks = np.empty(n, dtype=np.int32)
+        wids = np.empty(n, dtype=np.int32)
+        lib().shred_trainer_export_tokens(self._h, _ptr(toks), _ptr(wids))
+        return toks, wids
+
+    def token_freqs(self) -> np.ndarray:
+        n = 256 + self.num_merges
+        out = np.zeros(n, dtype=np.uint64)
+        lib().shred_trainer_token_freqs(self._h, _ptr(out), n)
+        return out
+
+    @property
+    def kept_chars(self) -> int:
+        return lib().shred_trainer_kept_chars(self._h)
+
+    @property
+    def unique_chars(self) -> int:
+        return lib().shred_trainer_unique_chars(self._h)
+
+    def free(self) -> None:
+        if self._h:
+            lib().shred_trainer_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.free()
+        except Exception:
+            pass
+
+
+class NativeEncoder:
+    """Fast CPU encoder over a merge table."""
+
+    def __init__(self, merges: np.ndarray):
+        merges = np.ascontiguousarray(merges, dtype=np.int32)
+        assert merges.ndim == 2 and merges.shape[1] == 2
+        self._n = len(merges)
+        self._h = lib().shred_encoder_create(_ptr(merges), self._n)
+
+    def encode_words(self, word_bytes: np.ndarray, offsets: np.ndarray,
+                     cache: bool = True) -> np.ndarray:
+        word_bytes = np.ascontiguousarray(word_bytes, dtype=np.uint8)
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        n_words = len(offsets) - 1
+        cap = max(int(offsets[-1]), 16)
+        out = np.empty(cap, dtype=np.int32)
+        n = lib().shred_encode_words(self._h, _ptr(word_bytes), _ptr(offsets),
+                                     n_words, int(cache), _ptr(out), cap)
+        if n < 0:
+            out = np.empty(-n, dtype=np.int32)
+            n = lib().shred_encode_words(self._h, _ptr(word_bytes),
+                                         _ptr(offsets), n_words, int(cache),
+                                         _ptr(out), -n)
+        return out[:n].copy()
+
+    def free(self) -> None:
+        if self._h:
+            lib().shred_encoder_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.free()
+        except Exception:
+            pass
