@@ -1,0 +1,250 @@
+"""BPETrainer — the TPU-native BPE trainer.
+
+API parity with the reference Python class (trainer.py:5-39):
+``BPETrainer(target_vocab_size, unk_id, character_coverage,
+min_pair_freq)`` + ``load_corpus`` / ``train`` / ``save``; plus TPU-native
+extensions (backend selection, incremental training, sharded training via
+``shredword_tpu.parallel``).
+
+Pipeline:
+  1. host: native corpus ingestion (threaded dedup) + coverage/unk mapping
+  2. device: flat int32 arrays; the whole merge loop runs inside
+     ``lax.while_loop`` (ops/bpe_ops.py) with exact sort-based counting
+  3. host: periodic array re-compaction to smaller capacity buckets as
+     the stream shrinks (fewer bytes per pass; shapes stay static per
+     bucket so XLA caches one executable per bucket)
+
+Tie-breaking: the TPU fast path breaks equal-frequency ties to the
+lexicographically smallest pair ("lex") — deterministic and documented.
+``tie_break="faithful"`` reproduces the reference's heap-artifact order
+bit-for-bit by driving pair *selection* through a host-side replica of the
+reference's heap/hash iteration-order semantics while keeping counting
+and merge application on device (see trainer_faithful.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import BPEConfig
+from ..errors import TrainingError
+from ..runtime import native
+from ..utils import logging as log
+
+_BASE_VOCAB = 256
+
+
+def _bucket(n: int) -> int:
+    """Static-shape capacity bucket (power of two, >= 1024)."""
+    cap = 1024
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+class BPETrainer:
+    def __init__(self, target_vocab_size: int = 8192, unk_id: int = 0,
+                 character_coverage: float = 0.995,
+                 min_pair_freq: int = 2000, **kwargs):
+        self.config = BPEConfig(
+            target_vocab_size=target_vocab_size, unk_id=unk_id,
+            character_coverage=character_coverage,
+            min_pair_freq=min_pair_freq, **kwargs).validate()
+        self._corpus: native.NativeCorpus | None = None
+        self._arrays: native.CorpusArrays | None = None
+        self._keep: np.ndarray | None = None
+        self._merges = np.zeros((0, 2), dtype=np.int32)
+        self._merge_freqs = np.zeros(0, dtype=np.int64)
+        self._final_tokens: np.ndarray | None = None
+        self._final_word_id: np.ndarray | None = None
+        self._trained = False
+
+    # ------------------------------------------------------------------
+    # corpus
+    # ------------------------------------------------------------------
+
+    def load_corpus(self, path: str) -> None:
+        faithful = self.config.tie_break == "faithful"
+        with log.Timer("load_corpus") as t:
+            self._corpus = native.NativeCorpus.from_file(
+                path, faithful_order=faithful)
+            self._ingest()
+        log.info("Loaded corpus: %d unique words, %d occurrences, "
+                 "%.1f MB raw (%.1f MB/s)", self._arrays.n_words,
+                 self._arrays.total_occurrences,
+                 self._arrays.total_raw_bytes / 1e6,
+                 self._arrays.total_raw_bytes / 1e6 / max(t.elapsed, 1e-9))
+
+    def load_corpus_bytes(self, data: bytes) -> None:
+        faithful = self.config.tie_break == "faithful"
+        self._corpus = native.NativeCorpus.from_bytes(
+            data, faithful_order=faithful)
+        self._ingest()
+
+    def _ingest(self) -> None:
+        self._arrays = self._corpus.arrays()
+        keep, n_kept, n_unique = self._corpus.coverage(
+            self.config.character_coverage)
+        self._keep = keep
+        log.debug("Character histogram: %d unique, keeping %d", n_unique,
+                  n_kept)
+
+    def _token_arrays(self):
+        """Flat (tokens, word_id, wcount) int32 arrays with unk applied."""
+        arr = self._arrays
+        tokens = arr.word_bytes.astype(np.int32)
+        unk = np.where(~self._keep[arr.word_bytes])[0]
+        tokens[unk] = self.config.unk_id
+        lengths = np.diff(arr.offsets)
+        word_id = np.repeat(
+            np.arange(arr.n_words, dtype=np.int32), lengths)
+        counts = np.minimum(arr.counts, np.iinfo(np.int32).max)
+        wcount = counts.astype(np.int32)[word_id]
+        return tokens, word_id, wcount
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+
+    def train(self, max_merges: int | None = None) -> int:
+        if self._arrays is None:
+            raise TrainingError("load_corpus must be called before train")
+        if self.config.backend == "cpu" or self.config.tie_break == "faithful":
+            return self._train_cpu_or_faithful(max_merges)
+        return self._train_tpu(max_merges)
+
+    def _train_cpu_or_faithful(self, max_merges) -> int:
+        if self.config.tie_break == "faithful" and self.config.backend == "tpu":
+            from .trainer_faithful import train_faithful_tpu
+            return train_faithful_tpu(self, max_merges)
+        # pure-CPU backend: the native faithful engine
+        t = native.FaithfulTrainer(
+            self.config.target_vocab_size, self.config.unk_id,
+            self.config.character_coverage, self.config.min_pair_freq)
+        t.load(self._corpus)
+        n = t.train(-1 if max_merges is None else max_merges)
+        self._merges = t.merges()
+        self._merge_freqs = t.merge_freqs().astype(np.int64)
+        toks, wids = t.tokens()
+        self._final_tokens, self._final_word_id = toks, wids
+        self._trained = True
+        t.free()
+        log.info("Training completed: %d merges performed.", n)
+        return n
+
+    def _train_tpu(self, max_merges) -> int:
+        import jax.numpy as jnp
+
+        from ..ops import bpe_ops
+
+        cfg = self.config
+        target = cfg.target_merges
+        if max_merges is not None:
+            target = min(target, len(self._merges) + max_merges)
+        tokens, word_id, wcount = self._token_arrays()
+        n = len(tokens)
+        if n == 0 or target <= 0:
+            self._trained = True
+            self._final_tokens = tokens
+            self._final_word_id = word_id
+            log.info("Training completed: 0 merges performed.")
+            return 0
+
+        state = bpe_ops.make_state(tokens, word_id, wcount, _bucket(n))
+        ts = bpe_ops.train_init(state, cfg.target_merges)
+
+        chunk = cfg.merges_per_device_call
+        with log.Timer("train", nbytes=self._arrays.total_raw_bytes) as t:
+            while True:
+                n_before = int(ts.n_merges)
+                ts = bpe_ops.train_loop(
+                    ts, jnp.int32(cfg.unk_id), jnp.int32(cfg.min_pair_freq),
+                    target_merges=target, max_steps=chunk)
+                n_after = int(ts.n_merges)
+                done = bool(ts.done) or n_after >= target
+                length = int(ts.corpus.length)
+                log.progress("Completed %d/%d merges (stream %d/%d)",
+                             n_after, target, length,
+                             ts.corpus.tokens.shape[0])
+                if done:
+                    break
+                if n_after == n_before:
+                    break  # safety: no progress
+                # host-side re-compaction to a smaller capacity bucket
+                cap = ts.corpus.tokens.shape[0]
+                new_cap = _bucket(length)
+                if new_cap <= cap // 2:
+                    corpus = bpe_ops.CorpusState(
+                        jnp.asarray(np.asarray(ts.corpus.tokens[:new_cap])),
+                        jnp.asarray(np.asarray(ts.corpus.word_id[:new_cap])),
+                        jnp.asarray(np.asarray(ts.corpus.wcount[:new_cap])),
+                        ts.corpus.length)
+                    ts = ts._replace(corpus=corpus)
+
+        n_merges = int(ts.n_merges)
+        self._merges = np.asarray(ts.merges)[:n_merges].astype(np.int32)
+        self._merge_freqs = np.asarray(
+            ts.merge_freqs)[:n_merges].astype(np.int64)
+        length = int(ts.corpus.length)
+        self._final_tokens = np.asarray(ts.corpus.tokens)[:length]
+        self._final_word_id = np.asarray(ts.corpus.word_id)[:length]
+        self._trained = True
+        log.info("Training completed: %d merges performed. (%.2f s)",
+                 n_merges, t.elapsed)
+        return n_merges
+
+    # ------------------------------------------------------------------
+    # results
+    # ------------------------------------------------------------------
+
+    @property
+    def merges(self) -> np.ndarray:
+        return self._merges
+
+    @property
+    def merge_freqs(self) -> np.ndarray:
+        return self._merge_freqs
+
+    @property
+    def num_merges(self) -> int:
+        return len(self._merges)
+
+    @property
+    def vocab_size(self) -> int:
+        return _BASE_VOCAB + self.num_merges
+
+    def token_frequencies(self) -> np.ndarray:
+        """Frequency of every vocab id over the final merged corpus
+        (reference bpe_save counting pass, bpe.cpp:704-712)."""
+        if not self._trained:
+            raise TrainingError("train must be called first")
+        freqs = np.zeros(self.vocab_size, dtype=np.int64)
+        toks = self._final_tokens
+        counts = np.minimum(self._arrays.counts,
+                            np.iinfo(np.int64).max).astype(np.int64)
+        w = counts[self._final_word_id]
+        valid = (toks >= 0) & (toks < self.vocab_size)
+        np.add.at(freqs, toks[valid], w[valid])
+        return freqs
+
+    def save(self, model_path: str, vocab_path: str | None = None) -> None:
+        from .. import serialization
+        if not self._trained:
+            raise TrainingError("train must be called before save")
+        serialization.write_model_binary(model_path, self._merges)
+        if vocab_path is not None:
+            serialization.write_vocab(vocab_path, self._merges,
+                                      self.token_frequencies())
+        log.info("Saved %d-token vocab to %s and %d merges to %s",
+                 self.vocab_size, vocab_path, self.num_merges, model_path)
+
+    def destroy(self) -> None:
+        if self._corpus is not None:
+            self._corpus.free()
+            self._corpus = None
+
+    def __del__(self):
+        try:
+            self.destroy()
+        except Exception:
+            pass

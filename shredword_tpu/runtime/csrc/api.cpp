@@ -77,6 +77,17 @@ void shred_corpus_export(void* corpus, uint8_t* bytes_out,
 
 void shred_corpus_free(void* corpus) { delete static_cast<Corpus*>(corpus); }
 
+// Character-coverage keep mask (reference semantics; corpus.cpp
+// compute_coverage).  keep_out: 256 bytes (0/1).  Returns n_unique<<8 |
+// n_kept packed?  No — returns n_kept; n_unique via out param.
+int shred_corpus_coverage(void* corpus, double coverage, uint8_t* keep_out,
+                          int* n_unique_out) {
+  auto res = shred::compute_coverage(*static_cast<Corpus*>(corpus), coverage);
+  for (int i = 0; i < 256; i++) keep_out[i] = res.keep[i] ? 1 : 0;
+  if (n_unique_out) *n_unique_out = res.n_unique;
+  return res.n_kept;
+}
+
 // ---------------- faithful trainer ----------------
 
 void* shred_trainer_create(const ShredConfigC* cfg) {

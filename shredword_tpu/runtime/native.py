@@ -48,6 +48,9 @@ def _declare(L: ctypes.CDLL) -> None:
         getattr(L, fn).restype = i64
     L.shred_corpus_export.argtypes = [p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     L.shred_corpus_export.restype = None
+    L.shred_corpus_coverage.argtypes = [p, ctypes.c_double, ctypes.c_void_p,
+                                        ctypes.POINTER(ctypes.c_int)]
+    L.shred_corpus_coverage.restype = ctypes.c_int
     L.shred_corpus_free.argtypes = [p]
     L.shred_corpus_free.restype = None
 
@@ -146,6 +149,15 @@ class NativeCorpus:
             total_raw_bytes=L.shred_corpus_total_raw_bytes(self._h),
             total_occurrences=L.shred_corpus_total_occurrences(self._h),
         )
+
+    def coverage(self, coverage: float) -> tuple[np.ndarray, int, int]:
+        """(keep_mask bool[256], n_kept, n_unique) under reference
+        coverage semantics (docs/CONFORMANCE.md §1.2)."""
+        keep = np.zeros(256, dtype=np.uint8)
+        n_unique = ctypes.c_int(0)
+        n_kept = lib().shred_corpus_coverage(self._h, coverage, _ptr(keep),
+                                             ctypes.byref(n_unique))
+        return keep.astype(bool), n_kept, n_unique.value
 
     def free(self) -> None:
         if self._h:
