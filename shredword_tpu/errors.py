@@ -23,3 +23,11 @@ class TrainingError(ShredError, RuntimeError):
 
 class SerializationError(ShredError, IOError):
     """Model/vocab serialization failure."""
+
+
+class EncodeError(ShredError, ValueError):
+    """Encoding failure (e.g. disallowed special token in input)."""
+
+
+class DecodeError(ShredError, ValueError):
+    """Decoding failure (e.g. invalid token id)."""

@@ -1,0 +1,12 @@
+"""Data-parallel sharded BPE training over a jax.sharding.Mesh.
+
+Greenfield component: the reference is strictly single-threaded
+(SURVEY.md §2.D); corpus sharding + cross-shard count reduction replace
+the absent NCCL/MPI layer with XLA collectives over ICI.
+"""
+
+from .train import (ShardedCorpus, make_mesh, shard_corpus,
+                    sharded_train, sharded_train_loop)
+
+__all__ = ["ShardedCorpus", "make_mesh", "shard_corpus", "sharded_train",
+           "sharded_train_loop"]

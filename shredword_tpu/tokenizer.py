@@ -1,0 +1,249 @@
+"""Tokenizer — unified encode/decode/save/load over a trained BPE model.
+
+The reference has two disconnected halves: a C++ trainer that cannot
+encode, and a pure-Python ``BaseTokenizer`` whose encode/decode are
+``NotImplementedError`` stubs (base.py:107-109).  This class completes the
+contract: state = {merges, pattern, special_tokens, vocab}
+(base.py:98-104), encode = lowest-rank-first merge substitution with
+left-to-right overlap consumption (base.py:22-36), both reference model
+formats read/written (binary triples bpe.cpp:722-731; "shredword v1"
+text base.py:111-149).
+
+Backends:
+  - "cpu": native C++ rank-loop encoder with a word memo cache
+  - "tpu": flat-stream device encoder (ops/encode_ops.py); thousands of
+    chunks advance in one ``lax.while_loop`` dispatch
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+
+from . import pretokenize, serialization
+from .errors import DecodeError, EncodeError
+
+_REPLACEMENT = "�"
+
+
+def replace_control_characters(s: str) -> str:
+    """Escape control characters for vocab dumps (base.py:83-90)."""
+    out = []
+    for ch in s:
+        if unicodedata.category(ch)[0] != "C":
+            out.append(ch)
+        else:
+            out.append(f"\\u{ord(ch):04x}")
+    return "".join(out)
+
+
+def render_token(t: bytes) -> str:
+    """Human-readable token rendering (base.py:92-96)."""
+    return replace_control_characters(t.decode("utf-8", errors="replace"))
+
+
+class Tokenizer:
+    def __init__(self, merges: np.ndarray | None = None, pattern: str = "",
+                 special_tokens: dict[str, int] | None = None,
+                 backend: str = "cpu"):
+        self.merges = (np.zeros((0, 2), np.int32) if merges is None
+                       else np.asarray(merges, np.int32).reshape(-1, 2))
+        self.pattern = pattern
+        self.special_tokens: dict[str, int] = dict(special_tokens or {})
+        self.backend = backend
+        self._native = None
+        self._table = None
+        self._rebuild()
+
+    # ------------------------------------------------------------------
+    # vocab
+    # ------------------------------------------------------------------
+
+    def _rebuild(self) -> None:
+        # id -> bytes (build_vocab parity, base.py:60-79; full 256-byte
+        # base, merge concatenation, specials as utf-8)
+        vocab = {i: bytes([i]) for i in range(256)}
+        for m, (a, b) in enumerate(self.merges):
+            vocab[256 + m] = vocab.get(int(a), b"") + vocab.get(int(b), b"")
+        for special, idx in self.special_tokens.items():
+            vocab[idx] = special.encode("utf-8")
+        self.vocab = vocab
+        self._inverse_special = {v: k for k, v in self.special_tokens.items()}
+        self._native = None
+        self._table = None
+
+    @property
+    def vocab_size(self) -> int:
+        return 256 + len(self.merges) + len(self.special_tokens)
+
+    def register_special_tokens(self, special: dict[str, int]) -> None:
+        for name, idx in special.items():
+            if idx < 256 + len(self.merges):
+                raise EncodeError(
+                    f"special token id {idx} collides with merge ids "
+                    f"(< {256 + len(self.merges)})")
+        self.special_tokens.update(special)
+        self._rebuild()
+
+    # ------------------------------------------------------------------
+    # encode
+    # ------------------------------------------------------------------
+
+    def _chunks(self, text: str) -> list[bytes]:
+        if self.pattern:
+            return [c.encode("utf-8")
+                    for c in pretokenize.regex_split(text, self.pattern)]
+        return pretokenize.whitespace_keep_split(text.encode("utf-8"))
+
+    def _encode_chunks_cpu(self, chunks: list[bytes]) -> np.ndarray:
+        from .runtime.native import NativeEncoder
+        if self._native is None:
+            self._native = NativeEncoder(self.merges)
+        flat = b"".join(chunks)
+        offsets = np.zeros(len(chunks) + 1, np.int64)
+        np.cumsum([len(c) for c in chunks], out=offsets[1:])
+        word_bytes = np.frombuffer(flat, np.uint8)
+        return self._native.encode_words(word_bytes, offsets)
+
+    def _encode_chunks_tpu(self, chunks: list[bytes]) -> np.ndarray:
+        from .ops import encode_ops
+        if self._table is None:
+            self._table = encode_ops.build_merge_table(self.merges)
+        return encode_ops.encode_chunks(chunks, self._table)
+
+    def encode_ordinary(self, text: str) -> list[int]:
+        """Encode ignoring special tokens."""
+        chunks = self._chunks(text)
+        if not chunks:
+            return []
+        if self.backend == "tpu":
+            return self._encode_chunks_tpu(chunks).tolist()
+        return self._encode_chunks_cpu(chunks).tolist()
+
+    def encode(self, text: str, allowed_special="none_raise") -> list[int]:
+        """Encode with special-token handling.
+
+        allowed_special: "all" | "none" | "none_raise" | set[str].
+        "none_raise" (default) raises if a registered special token occurs
+        in the text — the safe default for untrusted input.
+        """
+        if allowed_special == "all":
+            allowed = set(self.special_tokens)
+        elif allowed_special == "none":
+            allowed = set()
+        elif allowed_special == "none_raise":
+            allowed = set()
+            for s in self.special_tokens:
+                if s in text:
+                    raise EncodeError(
+                        f"text contains special token {s!r}; pass "
+                        f"allowed_special='all' or an explicit set")
+        elif isinstance(allowed_special, (set, frozenset, list, tuple)):
+            allowed = set(allowed_special)
+        else:
+            raise EncodeError(
+                f"allowed_special must be 'all'|'none'|'none_raise'|set, "
+                f"got {allowed_special!r}")
+        if not allowed:
+            return self.encode_ordinary(text)
+        ids: list[int] = []
+        for is_special, part in pretokenize.split_special(
+                text, self.special_tokens, allowed):
+            if is_special:
+                ids.append(self.special_tokens[part])
+            else:
+                ids.extend(self.encode_ordinary(part))
+        return ids
+
+    def encode_batch(self, texts: list[str],
+                     allowed_special="none_raise") -> list[list[int]]:
+        return [self.encode(t, allowed_special) for t in texts]
+
+    # ------------------------------------------------------------------
+    # decode
+    # ------------------------------------------------------------------
+
+    def decode_bytes(self, ids, errors: str = "strict") -> bytes:
+        out = []
+        for i in ids:
+            i = int(i)
+            b = self.vocab.get(i)
+            if b is None:
+                if errors == "strict":
+                    raise DecodeError(f"invalid token id {i}")
+                if errors == "replace":
+                    out.append(_REPLACEMENT.encode("utf-8"))
+                continue  # "ignore"
+            out.append(b)
+        return b"".join(out)
+
+    def decode(self, ids, errors: str = "replace") -> str:
+        """ids -> text.  Byte-level errors use utf-8 'replace' so any id
+        sequence decodes; id-level errors follow `errors`."""
+        return self.decode_bytes(ids, errors=errors).decode(
+            "utf-8", errors="replace")
+
+    # ------------------------------------------------------------------
+    # train
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def train(cls, corpus_path: str, vocab_size: int = 8192,
+              min_pair_freq: int = 2, character_coverage: float = 1.0,
+              pattern: str = "", backend: str = "tpu",
+              **trainer_kwargs) -> "Tokenizer":
+        """Train from a corpus file and return a ready tokenizer.
+
+        Defaults differ from BPETrainer's reference-parity defaults:
+        full coverage and min_pair_freq=2 (general-purpose tokenization
+        rather than the reference's aggressive pruning, trainer.py:6).
+        """
+        from .models.bpe import BPETrainer
+        t = BPETrainer(target_vocab_size=vocab_size, unk_id=-1,
+                       character_coverage=character_coverage,
+                       min_pair_freq=min_pair_freq, backend=backend,
+                       **trainer_kwargs)
+        t.load_corpus(corpus_path)
+        t.train()
+        tok = cls(merges=t.merges, pattern=pattern)
+        t.destroy()
+        return tok
+
+    # ------------------------------------------------------------------
+    # serialization
+    # ------------------------------------------------------------------
+
+    def save(self, model_path: str, vocab_path: str | None = None) -> None:
+        """Write the model (format by extension: '.model' binary triples
+        unless it ends in '.v1.model'/'.txt') + optional debug vocab."""
+        if model_path.endswith((".v1.model", ".txt")) or self.pattern \
+                or self.special_tokens:
+            serialization.write_model_v1(model_path, self.merges,
+                                         pattern=self.pattern,
+                                         special_tokens=self.special_tokens)
+        else:
+            serialization.write_model_binary(model_path, self.merges)
+        if vocab_path is not None:
+            self._save_vocab_debug(vocab_path)
+
+    def _save_vocab_debug(self, path: str) -> None:
+        """Debug vocab dump (base.py:124-133 rendering; not loadable)."""
+        inverted = {256 + m: (int(a), int(b))
+                    for m, (a, b) in enumerate(self.merges)}
+        with open(path, "w", encoding="utf-8") as f:
+            for idx in sorted(self.vocab):
+                s = render_token(self.vocab[idx])
+                if idx in inverted:
+                    a, b = inverted[idx]
+                    f.write(f"[{render_token(self.vocab[a])}]"
+                            f"[{render_token(self.vocab[b])}] -> "
+                            f"[{s}] {idx}\n")
+                else:
+                    f.write(f"[{s}] {idx}\n")
+
+    @classmethod
+    def load(cls, model_path: str, backend: str = "cpu") -> "Tokenizer":
+        merges, pattern, special = serialization.read_model_any(model_path)
+        return cls(merges=merges, pattern=pattern, special_tokens=special,
+                   backend=backend)
