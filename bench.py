@@ -1,0 +1,186 @@
+"""Benchmark: TPU training throughput vs the reference C++ trainer.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: BPE training MB/s (raw corpus bytes / wall-clock of the merge
+phase, matching BASELINE.md's definition).  Baseline: the reference
+trainer (built from /root/reference with the one-line UB fix,
+docs/CONFORMANCE.md §4.1) run on the same corpus and config on this
+host's CPU; falls back to the in-repo faithful engine if the reference
+tree is unavailable.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+VOCAB = 768
+MIN_FREQ = 50
+COVERAGE = 0.9999
+CORPUS = "/tmp/shred_bench/corpus.txt"
+RAW_MB = 16
+
+
+def make_corpus(path: str, raw_mb: int = RAW_MB, seed: int = 1234) -> None:
+    """Deterministic zipf-ish corpus: ~100k distinct words, raw_mb MB."""
+    if os.path.exists(path) and os.path.getsize(path) > raw_mb * 10**6 * 0.95:
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.RandomState(seed)
+    n_vocab = 100_000
+    # synthetic word shapes: letter bigram chains, lengths 2..14
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    lens = rng.randint(2, 15, n_vocab)
+    words = ["".join(letters[rng.randint(0, 26, L)]) for L in lens]
+    ranks = np.arange(1, n_vocab + 1)
+    probs = 1.0 / ranks ** 1.05
+    probs /= probs.sum()
+    target = raw_mb * 10**6
+    with open(path, "w") as f:
+        written = 0
+        while written < target:
+            idx = rng.choice(n_vocab, size=20_000, p=probs)
+            chunk_words = [words[i] for i in idx]
+            line_len = 0
+            parts = []
+            for w in chunk_words:
+                parts.append(w)
+                line_len += len(w) + 1
+                if line_len > 80:
+                    parts.append("\n")
+                    line_len = 0
+                else:
+                    parts.append(" ")
+            s = "".join(parts)
+            f.write(s)
+            written += len(s)
+
+
+def build_reference_oracle() -> str | None:
+    """Build the reference trainer (+driver) out of tree; None if absent."""
+    ref = "/root/reference/shredword/csrc"
+    if not os.path.isdir(ref):
+        return None
+    out = "/tmp/shred_bench/ref_trainer"
+    drv = "/tmp/shred_bench/driver.cpp"
+    if os.path.exists(out):
+        return out
+    os.makedirs("/tmp/shred_bench", exist_ok=True)
+    fixed = "/tmp/shred_bench/csrc_fixed"
+    subprocess.run(["cp", "-r", ref, fixed], check=True)
+    # reference UB fix: Symbol::deleted uninitialized (CONFORMANCE.md §4.1)
+    hist = os.path.join(fixed, "bpe", "histogram.cpp")
+    src = open(hist).read()
+    open(hist, "w").write(src.replace(
+        "s->id = id;", "s->id = id;\n    s->deleted = false;", 1))
+    with open(drv, "w") as f:
+        f.write(r'''
+#include <cstdio>
+#include <cstdlib>
+#include <ctime>
+#include "bpe.h"
+int main(int argc, char** argv) {
+  BPEConfig cfg;
+  cfg.target_vocab_size = atol(argv[2]);
+  cfg.unk_id = -1;
+  cfg.character_coverage = atof(argv[3]);
+  cfg.min_pair_freq = strtoull(argv[4], nullptr, 10);
+  Trainer* t = create_trainer(&cfg);
+  if (bpe_load_corpus(t, argv[1]) != 0) return 3;
+  struct timespec t0, t1;
+  clock_gettime(CLOCK_MONOTONIC, &t0);
+  int n = bpe_train(t);
+  clock_gettime(CLOCK_MONOTONIC, &t1);
+  double dt = (t1.tv_sec - t0.tv_sec) + 1e-9 * (t1.tv_nsec - t0.tv_nsec);
+  printf("TRAIN_SECONDS %.6f MERGES %d\n", dt, n);
+  return 0;
+}
+''')
+    r = subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-o", out, drv] +
+        [os.path.join(fixed, "bpe", f) for f in
+         ("bpe.cpp", "hash.cpp", "heap.cpp", "histogram.cpp")] +
+        ["-I", os.path.join(fixed, "bpe")],
+        capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[:2000])
+        return None
+    return out
+
+
+def measure_reference(binary: str) -> float:
+    """Reference train seconds (merge phase only, stdout-parsed)."""
+    r = subprocess.run(
+        [binary, CORPUS, str(VOCAB), str(COVERAGE), str(MIN_FREQ)],
+        capture_output=True, text=True, timeout=3600)
+    for line in r.stdout.splitlines():
+        if line.startswith("TRAIN_SECONDS"):
+            parts = line.split()
+            return float(parts[1]), int(parts[3])
+    raise RuntimeError(f"reference run failed: rc={r.returncode} "
+                       f"{r.stderr[-500:]}")
+
+
+def measure_faithful_engine() -> tuple[float, int]:
+    """Fallback baseline: in-repo faithful engine (same algorithm)."""
+    from shredword_tpu.runtime.native import FaithfulTrainer, NativeCorpus
+    c = NativeCorpus.from_file(CORPUS, faithful_order=True)
+    t = FaithfulTrainer(VOCAB, -1, COVERAGE, MIN_FREQ)
+    t.load(c)
+    t0 = time.perf_counter()
+    n = t.train()
+    dt = time.perf_counter() - t0
+    t.free(); c.free()
+    return dt, n
+
+
+def measure_tpu() -> tuple[float, int]:
+    from shredword_tpu.models.bpe import BPETrainer
+
+    def run():
+        t = BPETrainer(target_vocab_size=VOCAB, unk_id=-1,
+                       character_coverage=COVERAGE, min_pair_freq=MIN_FREQ,
+                       backend="tpu")
+        t.load_corpus(CORPUS)
+        t0 = time.perf_counter()
+        n = t.train()
+        dt = time.perf_counter() - t0
+        t.destroy()
+        return dt, n
+
+    run()                # warm-up: populates the compile cache
+    return run()         # measured: steady-state throughput
+
+
+def main() -> None:
+    make_corpus(CORPUS)
+    raw_bytes = os.path.getsize(CORPUS)
+
+    ref = build_reference_oracle()
+    if ref is not None:
+        ref_dt, ref_n = measure_reference(ref)
+    else:
+        ref_dt, ref_n = measure_faithful_engine()
+    tpu_dt, tpu_n = measure_tpu()
+
+    mb = raw_bytes / 1e6
+    ours = mb / tpu_dt
+    base = mb / ref_dt
+    sys.stderr.write(
+        f"[bench] corpus {mb:.1f} MB; reference: {ref_dt:.2f}s "
+        f"({ref_n} merges, {base:.1f} MB/s); tpu: {tpu_dt:.2f}s "
+        f"({tpu_n} merges, {ours:.1f} MB/s)\n")
+    print(json.dumps({
+        "metric": "train_mb_s",
+        "value": round(ours, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(ours / base, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Command-line interface: ``python -m shredword_tpu <cmd> ...``.
+
+The reference has no CLI (config only via the Python ctor,
+trainer.py:6-12); this is a greenfield subsystem per SURVEY.md §5
+("Config / flag system: ... No CLI").  Subcommands:
+
+  train    corpus -> .model/.vocab (reference binary format, bpe.cpp:678)
+  encode   text -> token ids using a trained model
+  decode   token ids -> text
+  convert  between the binary-triple and "shredword v1" text formats
+  info     summarize a model file
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _add_train(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("train", help="train a BPE model from a corpus")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--model", required=True, help="output .model path")
+    p.add_argument("--vocab", default=None, help="output .vocab path")
+    p.add_argument("--vocab-size", type=int, default=8192)
+    p.add_argument("--unk-id", type=int, default=-1)
+    p.add_argument("--coverage", type=float, default=0.995)
+    p.add_argument("--min-pair-freq", type=int, default=2000)
+    p.add_argument("--backend", choices=("tpu", "cpu"), default="tpu")
+    p.add_argument("--tie-break", choices=("lex", "faithful"),
+                   default="lex")
+    p.add_argument("--max-merges", type=int, default=None)
+
+
+def _add_io(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", required=True, help="trained .model path")
+    p.add_argument("--input", default="-",
+                   help="input file ('-' = stdin)")
+    p.add_argument("--output", default="-",
+                   help="output file ('-' = stdout)")
+
+
+def _read(path: str) -> str:
+    if path == "-":
+        return sys.stdin.read()
+    with open(path, "r", encoding="utf-8") as f:
+        return f.read()
+
+
+def _write(path: str, text: str) -> None:
+    if path == "-":
+        sys.stdout.write(text)
+    else:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(text)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="shredword_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    _add_train(sub)
+
+    pe = sub.add_parser("encode", help="encode text to token ids")
+    _add_io(pe)
+    pe.add_argument("--backend", choices=("tpu", "cpu"), default="cpu")
+
+    pd = sub.add_parser("decode", help="decode token ids to text")
+    _add_io(pd)
+
+    pc = sub.add_parser("convert",
+                        help="convert between model formats")
+    pc.add_argument("src")
+    pc.add_argument("dst")
+    pc.add_argument("--pattern", default="")
+
+    pi = sub.add_parser("info", help="summarize a model file")
+    pi.add_argument("model")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "train":
+        from .models.bpe import BPETrainer
+        t = BPETrainer(target_vocab_size=args.vocab_size,
+                       unk_id=args.unk_id,
+                       character_coverage=args.coverage,
+                       min_pair_freq=args.min_pair_freq,
+                       backend=args.backend, tie_break=args.tie_break)
+        t.load_corpus(args.corpus)
+        n = t.train(args.max_merges)
+        vocab = args.vocab or (args.model.rsplit(".", 1)[0] + ".vocab")
+        t.save(args.model, vocab)
+        t.destroy()
+        print(f"trained {n} merges -> {args.model}, {vocab}")
+        return 0
+
+    if args.cmd == "encode":
+        from .tokenizer import Tokenizer
+        tok = Tokenizer.load(args.model, backend=args.backend)
+        ids = tok.encode(_read(args.input), allowed_special="all")
+        _write(args.output, " ".join(map(str, ids)) + "\n")
+        return 0
+
+    if args.cmd == "decode":
+        from .tokenizer import Tokenizer
+        tok = Tokenizer.load(args.model)
+        ids = [int(x) for x in _read(args.input).split()]
+        _write(args.output, tok.decode(ids))
+        return 0
+
+    if args.cmd == "convert":
+        from . import serialization
+        serialization.convert(args.src, args.dst, pattern=args.pattern)
+        print(f"converted {args.src} -> {args.dst}")
+        return 0
+
+    if args.cmd == "info":
+        from . import serialization
+        merges, pattern, special = serialization.read_model_any(args.model)
+        toks = serialization.token_strings(np.asarray(merges))
+        longest = max(toks, key=len) if toks else b""
+        print(f"model:    {args.model}")
+        print(f"merges:   {len(merges)}")
+        print(f"vocab:    {256 + len(merges)}")
+        print(f"pattern:  {pattern!r}")
+        print(f"specials: {len(special)}")
+        print(f"longest token: {longest!r} ({len(longest)} bytes)")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

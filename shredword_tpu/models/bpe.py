@@ -17,9 +17,8 @@ Pipeline:
 Tie-breaking: the TPU fast path breaks equal-frequency ties to the
 lexicographically smallest pair ("lex") — deterministic and documented.
 ``tie_break="faithful"`` reproduces the reference's heap-artifact order
-bit-for-bit by driving pair *selection* through a host-side replica of the
-reference's heap/hash iteration-order semantics while keeping counting
-and merge application on device (see trainer_faithful.py).
+bit-for-bit via the native faithful engine (runtime/csrc/faithful.cpp),
+whose outputs byte-match the compiled reference binary.
 """
 
 from __future__ import annotations
@@ -114,10 +113,9 @@ class BPETrainer:
         return self._train_tpu(max_merges)
 
     def _train_cpu_or_faithful(self, max_merges) -> int:
-        if self.config.tie_break == "faithful" and self.config.backend == "tpu":
-            from .trainer_faithful import train_faithful_tpu
-            return train_faithful_tpu(self, max_merges)
-        # pure-CPU backend: the native faithful engine
+        # tie_break="faithful" requires the reference's heap/hash iteration
+        # artifacts (docs/CONFORMANCE.md §2), which only the native engine
+        # reproduces; it is used regardless of backend.
         t = native.FaithfulTrainer(
             self.config.target_vocab_size, self.config.unk_id,
             self.config.character_coverage, self.config.min_pair_freq)

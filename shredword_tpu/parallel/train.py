@@ -1,0 +1,237 @@
+"""Sharded BPE training: corpus split by words across a `data` mesh axis.
+
+Per merge step (all inside one jitted ``shard_map`` + ``lax.while_loop``):
+
+  1. LOCAL  : sort-based aggregation of this shard's adjacent pairs into
+              distinct (a, b, weight) segments — O(C/D log C/D) per chip
+  2. GATHER : ``all_gather`` of the aggregated segments over ICI
+  3. REDUCE : replicated global sort + segment-sum + argmax — identical
+              on every chip, so the chosen pair needs no broadcast; the
+              lexicographic tie-break matches the single-chip trainer
+              exactly (ops/bpe_ops.py pair_counts_sorted)
+  4. APPLY  : purely local parity-scan merge + compaction (words never
+              span shards, so no halo exchange is needed)
+
+The reference has no distributed analog (single-threaded C++,
+SURVEY.md §2.D); this is the TPU-native replacement for the absent
+NCCL/MPI layer.  Counts are integers end-to-end, so the reduction is
+bit-deterministic regardless of shard order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import bpe_ops
+
+INT32_MAX = bpe_ops.INT32_MAX
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devs)} present "
+                f"(platform {devs[0].platform})")
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+class ShardedCorpus(NamedTuple):
+    """Per-shard flat streams, stacked on a leading device axis."""
+
+    tokens: jax.Array    # int32[D, C]
+    word_id: jax.Array   # int32[D, C]  (globally unique word ids, -1 pad)
+    wcount: jax.Array    # int32[D, C]
+    lengths: jax.Array   # int32[D]     live prefix per shard
+
+
+def shard_corpus(tokens: np.ndarray, word_id: np.ndarray,
+                 wcount: np.ndarray, n_shards: int,
+                 capacity: int | None = None) -> ShardedCorpus:
+    """Host-side: split the flat stream at word boundaries into
+    `n_shards` roughly equal spans, pad each to a common capacity."""
+    n = len(tokens)
+    cuts = [0]
+    for s in range(1, n_shards):
+        c = min(round(n * s / n_shards), n)
+        # move cut forward to the next word boundary
+        while 0 < c < n and word_id[c] == word_id[c - 1]:
+            c += 1
+        cuts.append(max(c, cuts[-1]))
+    cuts.append(n)
+    spans = [(cuts[i], cuts[i + 1]) for i in range(n_shards)]
+    max_len = max((b - a) for a, b in spans)
+    cap = capacity or max(1024, 1 << int(np.ceil(np.log2(max(max_len, 2)))))
+    assert cap >= max_len
+    T = np.zeros((n_shards, cap), np.int32)
+    W = np.full((n_shards, cap), -1, np.int32)
+    C = np.zeros((n_shards, cap), np.int32)
+    L = np.zeros(n_shards, np.int32)
+    for i, (a, b) in enumerate(spans):
+        m = b - a
+        T[i, :m] = tokens[a:b]
+        W[i, :m] = word_id[a:b]
+        C[i, :m] = wcount[a:b]
+        L[i] = m
+    return ShardedCorpus(jnp.asarray(T), jnp.asarray(W), jnp.asarray(C),
+                         jnp.asarray(L))
+
+
+class ShardedTrainState(NamedTuple):
+    corpus: ShardedCorpus
+    merges: jax.Array       # int32[M_max, 2] (replicated)
+    merge_freqs: jax.Array  # int32[M_max]
+    n_merges: jax.Array     # int32
+    done: jax.Array         # bool
+
+
+def _local_state(sc_tok, sc_wid, sc_cnt, length) -> bpe_ops.CorpusState:
+    return bpe_ops.CorpusState(sc_tok, sc_wid, sc_cnt, length)
+
+
+def _global_best_pair(seg_a, seg_b, seg_w, min_pair_freq, axis: str):
+    """Replicated reduce over gathered per-shard segments.
+
+    seg_*: int32[D*C] gathered arrays; returns (a, b, count) with the
+    same lex tie-break as the single-chip path.
+    """
+    n = seg_a.shape[0]
+    a, b, w = jax.lax.sort((seg_a, seg_b, seg_w), num_keys=2)
+    prev_a = jnp.concatenate([jnp.array([INT32_MAX], jnp.int32), a[:-1]])
+    prev_b = jnp.concatenate([jnp.array([INT32_MAX], jnp.int32), b[:-1]])
+    is_new = ((a != prev_a) | (b != prev_b)).at[0].set(True)
+    seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    tot = jax.ops.segment_sum(w, seg_id, num_segments=n)
+    head_idx = jnp.where(is_new, seg_id, n)
+    ga = jnp.full(n, INT32_MAX, jnp.int32).at[head_idx].set(a, mode="drop")
+    gb = jnp.full(n, INT32_MAX, jnp.int32).at[head_idx].set(b, mode="drop")
+    tot = jnp.where((ga == INT32_MAX) & (gb == INT32_MAX), 0, tot)
+    eligible = jnp.where(tot >= min_pair_freq, tot, 0)
+    best = jnp.argmax(eligible)
+    return ga[best], gb[best], eligible[best]
+
+
+def _local_pair_segments(state: bpe_ops.CorpusState, unk_id):
+    """Per-shard distinct (a, b, weight) segments, sorted, padded with
+    (INT32_MAX, INT32_MAX, 0)."""
+    seg_a, seg_b, seg_w = bpe_ops.pair_counts_sorted(state, unk_id)
+    return seg_a, seg_b, seg_w.astype(jnp.int32)
+
+
+def build_sharded_train_loop(mesh: Mesh, *, target_merges: int,
+                             max_steps: int, axis: str = "data"):
+    """Returns a jitted function running up to `max_steps` merges on the
+    sharded corpus in a single dispatch."""
+
+    def shard_body(tok, wid, cnt, length, merges, freqs, n_merges, done,
+                   unk_id, min_pair_freq):
+        # inside shard_map: leading device dim is stripped -> [C] locals
+        tok, wid, cnt = tok[0], wid[0], cnt[0]
+        length = length[0]
+
+        def cond_fn(carry):
+            st, merges, freqs, n_merges, done, steps = carry
+            return (~done) & (n_merges < target_merges) & (steps < max_steps)
+
+        def body_fn(carry):
+            st, merges, freqs, n_merges, done, steps = carry
+            la, lb, lw = _local_pair_segments(st, unk_id)
+            ga = jax.lax.all_gather(la, axis, tiled=True)
+            gb = jax.lax.all_gather(lb, axis, tiled=True)
+            gw = jax.lax.all_gather(lw, axis, tiled=True)
+            a, b, cnt_best = _global_best_pair(ga, gb, gw, min_pair_freq,
+                                               axis)
+            no_pair = cnt_best == 0
+
+            def do_merge(args):
+                st, merges, freqs, n_merges = args
+                new_id = 256 + n_merges
+                new_st, _ = bpe_ops.apply_merge(st, a, b, new_id)
+                merges = merges.at[n_merges].set(
+                    jnp.stack([a, b]).astype(jnp.int32))
+                freqs = freqs.at[n_merges].set(cnt_best.astype(jnp.int32))
+                return new_st, merges, freqs, n_merges + 1, jnp.bool_(False)
+
+            st, merges, freqs, n_merges, done = jax.lax.cond(
+                no_pair,
+                lambda args: (*args, jnp.bool_(True)),
+                do_merge,
+                (st, merges, freqs, n_merges),
+            )
+            return st, merges, freqs, n_merges, done, steps + 1
+
+        st = _local_state(tok, wid, cnt, length)
+        st, merges, freqs, n_merges, done, _ = jax.lax.while_loop(
+            cond_fn, body_fn,
+            (st, merges, freqs, n_merges, done, jnp.int32(0)))
+        return (st.tokens[None], st.word_id[None], st.wcount[None],
+                st.length[None], merges, freqs, n_merges, done)
+
+    sharded = P(axis)
+    repl = P()
+    fn = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(sharded, sharded, sharded, sharded,
+                  repl, repl, repl, repl, repl, repl),
+        out_specs=(sharded, sharded, sharded, sharded,
+                   repl, repl, repl, repl),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_train_loop(mesh: Mesh, ts: ShardedTrainState, unk_id: int,
+                       min_pair_freq: int, *, target_merges: int,
+                       max_steps: int, axis: str = "data",
+                       _cache={}) -> ShardedTrainState:
+    key = (id(mesh), target_merges, max_steps, axis,
+           ts.corpus.tokens.shape)
+    if key not in _cache:
+        _cache[key] = build_sharded_train_loop(
+            mesh, target_merges=target_merges, max_steps=max_steps,
+            axis=axis)
+    fn = _cache[key]
+    tok, wid, cnt, lens, merges, freqs, n_merges, done = fn(
+        ts.corpus.tokens, ts.corpus.word_id, ts.corpus.wcount,
+        ts.corpus.lengths, ts.merges, ts.merge_freqs, ts.n_merges, ts.done,
+        jnp.int32(unk_id), jnp.int32(min_pair_freq))
+    return ShardedTrainState(ShardedCorpus(tok, wid, cnt, lens),
+                             merges, freqs, n_merges, done)
+
+
+def sharded_train(tokens: np.ndarray, word_id: np.ndarray,
+                  wcount: np.ndarray, *, mesh: Mesh | None = None,
+                  target_merges: int, unk_id: int = -1,
+                  min_pair_freq: int = 2,
+                  max_steps_per_call: int = 256,
+                  axis: str = "data") -> tuple[np.ndarray, np.ndarray]:
+    """Full sharded training driver.  Returns (merges[M,2], freqs[M])."""
+    mesh = mesh or make_mesh()
+    n_shards = mesh.devices.size
+    sc = shard_corpus(tokens, word_id, wcount, n_shards)
+    ts = ShardedTrainState(
+        corpus=sc,
+        merges=jnp.zeros((max(target_merges, 1), 2), jnp.int32),
+        merge_freqs=jnp.zeros(max(target_merges, 1), jnp.int32),
+        n_merges=jnp.int32(0),
+        done=jnp.bool_(False),
+    )
+    while True:
+        n_before = int(ts.n_merges)
+        ts = sharded_train_loop(mesh, ts, unk_id, min_pair_freq,
+                                target_merges=target_merges,
+                                max_steps=max_steps_per_call, axis=axis)
+        n_after = int(ts.n_merges)
+        if bool(ts.done) or n_after >= target_merges or n_after == n_before:
+            break
+    n = int(ts.n_merges)
+    return (np.asarray(ts.merges)[:n], np.asarray(ts.merge_freqs)[:n])

@@ -1,0 +1,72 @@
+"""Sharded-training tests on an 8-virtual-device CPU mesh.
+
+The sharded trainer must produce the exact merge sequence of the
+single-device TPU trainer (same lex tie-break, integer counts ->
+bit-deterministic psum-equivalent reduction).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _flat_arrays(path, coverage, unk_id):
+    from shredword_tpu.runtime.native import NativeCorpus
+    c = NativeCorpus.from_file(path)
+    arrays = c.arrays()
+    keep, _, _ = c.coverage(coverage)
+    tokens = arrays.word_bytes.astype(np.int32)
+    tokens[~keep[arrays.word_bytes]] = unk_id
+    lengths = np.diff(arrays.offsets)
+    word_id = np.repeat(np.arange(arrays.n_words, dtype=np.int32), lengths)
+    wcount = arrays.counts.astype(np.int32)[word_id]
+    return tokens, word_id, wcount
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_matches_single_device(zipf_corpus_file, n_shards):
+    from shredword_tpu import parallel
+    from shredword_tpu.models.bpe import BPETrainer
+
+    assert len(jax.devices()) >= n_shards, "conftest must force 8 devices"
+
+    t = BPETrainer(target_vocab_size=330, unk_id=-1,
+                   character_coverage=0.9995, min_pair_freq=5,
+                   backend="tpu")
+    t.load_corpus(zipf_corpus_file)
+    n = t.train()
+    assert n > 0
+
+    tokens, word_id, wcount = _flat_arrays(zipf_corpus_file, 0.9995, -1)
+    mesh = parallel.make_mesh(n_shards)
+    merges, freqs = parallel.sharded_train(
+        tokens, word_id, wcount, mesh=mesh, target_merges=330 - 256,
+        unk_id=-1, min_pair_freq=5)
+
+    assert len(merges) == n
+    np.testing.assert_array_equal(merges, t.merges)
+    np.testing.assert_array_equal(freqs, t.merge_freqs.astype(np.int32))
+
+
+def test_shard_corpus_word_boundaries():
+    from shredword_tpu.parallel import shard_corpus
+    rng = np.random.RandomState(0)
+    n_words = 57
+    lens = rng.randint(1, 9, n_words)
+    word_id = np.repeat(np.arange(n_words, dtype=np.int32), lens)
+    tokens = rng.randint(0, 256, len(word_id)).astype(np.int32)
+    wcount = np.ones(len(word_id), np.int32)
+    sc = shard_corpus(tokens, word_id, wcount, 4)
+    # no word split across shards; concatenation reproduces the stream
+    seen = []
+    for d in range(4):
+        L = int(sc.lengths[d])
+        wid = np.asarray(sc.word_id[d])[:L]
+        if L:
+            # boundary check: first word of this shard doesn't continue
+            # the previous shard's last word
+            if seen:
+                assert wid[0] != seen[-1]
+            seen.extend(wid.tolist())
+    assert seen == word_id.tolist()
