@@ -98,33 +98,41 @@ def _local_state(sc_tok, sc_wid, sc_cnt, length) -> bpe_ops.CorpusState:
     return bpe_ops.CorpusState(sc_tok, sc_wid, sc_cnt, length)
 
 
-def _global_best_pair(seg_a, seg_b, seg_w, min_pair_freq, axis: str):
-    """Replicated reduce over gathered per-shard segments.
+def _global_best_pair(keys, vals, min_pair_freq):
+    """Replicated reduce over gathered per-shard packed segments.
 
-    seg_*: int32[D*C] gathered arrays; returns (a, b, count) with the
-    same lex tie-break as the single-chip path.
+    keys/vals: int32[D*C] gathered (packed pair key, local count) with
+    key == INT32_MAX padding; returns (a, b, count) with the same lex
+    tie-break as the single-chip path.  Scatter-free: sort + cumsum +
+    prefix-max + gather.
     """
-    n = seg_a.shape[0]
-    a, b, w = jax.lax.sort((seg_a, seg_b, seg_w), num_keys=2)
-    prev_a = jnp.concatenate([jnp.array([INT32_MAX], jnp.int32), a[:-1]])
-    prev_b = jnp.concatenate([jnp.array([INT32_MAX], jnp.int32), b[:-1]])
-    is_new = ((a != prev_a) | (b != prev_b)).at[0].set(True)
-    seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    tot = jax.ops.segment_sum(w, seg_id, num_segments=n)
-    head_idx = jnp.where(is_new, seg_id, n)
-    ga = jnp.full(n, INT32_MAX, jnp.int32).at[head_idx].set(a, mode="drop")
-    gb = jnp.full(n, INT32_MAX, jnp.int32).at[head_idx].set(b, mode="drop")
-    tot = jnp.where((ga == INT32_MAX) & (gb == INT32_MAX), 0, tot)
-    eligible = jnp.where(tot >= min_pair_freq, tot, 0)
-    best = jnp.argmax(eligible)
-    return ga[best], gb[best], eligible[best]
+    n = keys.shape[0]
+    key, w = jax.lax.sort((keys, vals), num_keys=1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    diff = key[1:] != key[:-1]
+    is_new = jnp.concatenate([jnp.ones(1, bool), diff])
+    is_last = jnp.concatenate([diff, jnp.ones(1, bool)])
+    cumw = jnp.cumsum(w)
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_new, idx, -1))
+    base = jnp.where(seg_start > 0, cumw[jnp.maximum(seg_start - 1, 0)], 0)
+    total = cumw - base
+    ok = is_last & (key != INT32_MAX) & (total >= min_pair_freq)
+    masked = jnp.where(ok, total, 0)
+    best = jnp.argmax(masked)
+    bk = key[best]
+    return (bk >> bpe_ops.PACK_SHIFT, bk & (bpe_ops.PACK_LIMIT - 1),
+            masked[best])
 
 
 def _local_pair_segments(state: bpe_ops.CorpusState, unk_id):
-    """Per-shard distinct (a, b, weight) segments, sorted, padded with
-    (INT32_MAX, INT32_MAX, 0)."""
-    seg_a, seg_b, seg_w = bpe_ops.pair_counts_sorted(state, unk_id)
-    return seg_a, seg_b, seg_w.astype(jnp.int32)
+    """Per-shard packed (key, count) segment summaries: each distinct
+    local pair contributes exactly one entry (at its segment-last
+    position); everything else is (INT32_MAX, 0)."""
+    key, total, is_last = bpe_ops.pair_totals_packed(state, unk_id)
+    live = is_last & (key != INT32_MAX)
+    return (jnp.where(live, key, INT32_MAX),
+            jnp.where(live, total, 0).astype(jnp.int32))
 
 
 def build_sharded_train_loop(mesh: Mesh, *, target_merges: int,
@@ -144,12 +152,10 @@ def build_sharded_train_loop(mesh: Mesh, *, target_merges: int,
 
         def body_fn(carry):
             st, merges, freqs, n_merges, done, steps = carry
-            la, lb, lw = _local_pair_segments(st, unk_id)
-            ga = jax.lax.all_gather(la, axis, tiled=True)
-            gb = jax.lax.all_gather(lb, axis, tiled=True)
-            gw = jax.lax.all_gather(lw, axis, tiled=True)
-            a, b, cnt_best = _global_best_pair(ga, gb, gw, min_pair_freq,
-                                               axis)
+            lk, lv = _local_pair_segments(st, unk_id)
+            gk = jax.lax.all_gather(lk, axis, tiled=True)
+            gv = jax.lax.all_gather(lv, axis, tiled=True)
+            a, b, cnt_best = _global_best_pair(gk, gv, min_pair_freq)
             no_pair = cnt_best == 0
 
             def do_merge(args):
