@@ -24,7 +24,10 @@ class BPEConfig:
     min_pair_freq: int = 2000
 
     # TPU-trainer knobs (no reference counterpart)
-    merges_per_device_call: int = 256   # on-device merge steps per host loop
+    merges_per_device_call: int = 64    # on-device merge steps per host loop
+                                        # (smaller chunks let re-compaction
+                                        # shrink the stream sooner; dispatch
+                                        # overhead is ~ms per chunk)
     compact_every: int = 64             # host-side re-compactions (steps)
     tie_break: str = "lex"              # "lex" | "faithful" (CPU selector)
     backend: str = "tpu"                # "tpu" | "cpu"

@@ -168,14 +168,16 @@ class BPETrainer:
                     break
                 if n_after == n_before:
                     break  # safety: no progress
-                # host-side re-compaction to a smaller capacity bucket
+                # device-side re-compaction to a smaller capacity bucket
+                # (tokens are already front-compacted after every merge, so
+                # shrinking is a pure device slice — no host round trip)
                 cap = ts.corpus.tokens.shape[0]
                 new_cap = _bucket(length)
                 if new_cap <= cap // 2:
                     corpus = bpe_ops.CorpusState(
-                        jnp.asarray(np.asarray(ts.corpus.tokens[:new_cap])),
-                        jnp.asarray(np.asarray(ts.corpus.word_id[:new_cap])),
-                        jnp.asarray(np.asarray(ts.corpus.wcount[:new_cap])),
+                        ts.corpus.tokens[:new_cap],
+                        ts.corpus.word_id[:new_cap],
+                        ts.corpus.wcount[:new_cap],
                         ts.corpus.length)
                     ts = ts._replace(corpus=corpus)
 

@@ -130,14 +130,15 @@ def pair_totals_packed(state: CorpusState, unk_id):
     w = jnp.where(valid, state.wcount, 0)
     key, w = jax.lax.sort((key, w), num_keys=1)
 
-    idx = jnp.arange(n, dtype=jnp.int32)
     diff = key[1:] != key[:-1]
     is_new = jnp.concatenate([jnp.ones(1, bool), diff])
     is_last = jnp.concatenate([diff, jnp.ones(1, bool)])
     cumw = jnp.cumsum(w)
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_new, idx, -1))
-    base = jnp.where(seg_start > 0, cumw[jnp.maximum(seg_start - 1, 0)], 0)
+    # cumsum just before each segment head, propagated across the
+    # segment by a prefix max (cumw is non-decreasing, so the most
+    # recent head wins) — no gather needed.
+    base = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_new, cumw - w, -1))
     return key, cumw - base, is_last
 
 
@@ -179,11 +180,17 @@ def select_matches(state: CorpusState, a, b) -> jax.Array:
     same_word = (w == jnp.roll(w, -1)) & (w >= 0)
     inside = idx < state.length - 1
     match = inside & same_word & (t == a) & (nxt == b)
-    # last non-match index at or before i (prefix max of masked indices)
-    nm = jnp.where(match, -1, idx)
-    last_nm = jax.lax.associative_scan(jnp.maximum, nm)
-    run_pos = idx - last_nm - 1  # 0 for a run head
-    return match & (run_pos % 2 == 0)
+
+    def resolve_runs(match):
+        # last non-match index at or before i (prefix max of masked idx)
+        nm = jnp.where(match, -1, idx)
+        last_nm = jax.lax.associative_scan(jnp.maximum, nm)
+        run_pos = idx - last_nm - 1  # 0 for a run head
+        return match & (run_pos % 2 == 0)
+
+    # overlapping matches require t[i+1] == a == b; for a != b the match
+    # set is already non-overlapping and the run scan is skipped
+    return jax.lax.cond(a == b, resolve_runs, lambda m: m, match)
 
 
 def apply_merge(state: CorpusState, a, b, new_id) -> tuple[CorpusState, jax.Array]:
