@@ -10,16 +10,18 @@ Capabilities of shivendrra/shredword, redesigned TPU-first:
   - both reference model formats (binary triples + "shredword v1" text)
 """
 
-from .config import BPEConfig
+from .config import BPEConfig, UnigramConfig
 from .errors import (ConfigError, CorpusError, DecodeError, EncodeError,
                      SerializationError, ShredError, TrainingError)
 from .models.bpe import BPETrainer
+from .models.unigram import UnigramTokenizer, UnigramTrainer
 from .tokenizer import Tokenizer, render_token
 
 __version__ = "0.1.0"
 
 __all__ = [
     "BPETrainer", "Tokenizer", "BPEConfig", "render_token",
+    "UnigramTrainer", "UnigramTokenizer", "UnigramConfig",
     "ShredError", "CorpusError", "ConfigError", "TrainingError",
     "SerializationError", "EncodeError", "DecodeError",
     "__version__",

@@ -79,6 +79,16 @@ def main(argv: list[str] | None = None) -> int:
     pi = sub.add_parser("info", help="summarize a model file")
     pi.add_argument("model")
 
+    pu = sub.add_parser("train-unigram",
+                        help="train a unigram LM tokenizer")
+    pu.add_argument("--corpus", required=True)
+    pu.add_argument("--model", required=True)
+    pu.add_argument("--vocab-size", type=int, default=8192)
+    pu.add_argument("--seed-size", type=int, default=100_000)
+    pu.add_argument("--max-piece-len", type=int, default=15)
+    pu.add_argument("--em-rounds", type=int, default=2)
+    pu.add_argument("--backend", choices=("tpu", "cpu"), default="tpu")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "train":
@@ -127,6 +137,19 @@ def main(argv: list[str] | None = None) -> int:
         print(f"pattern:  {pattern!r}")
         print(f"specials: {len(special)}")
         print(f"longest token: {longest!r} ({len(longest)} bytes)")
+        return 0
+
+    if args.cmd == "train-unigram":
+        from .models.unigram import UnigramTrainer
+        t = UnigramTrainer(target_vocab_size=args.vocab_size,
+                           seed_size=args.seed_size,
+                           max_piece_len=args.max_piece_len,
+                           num_em_rounds=args.em_rounds,
+                           backend=args.backend)
+        t.load_corpus(args.corpus)
+        n = t.train()
+        t.save(args.model)
+        print(f"trained unigram model with {n} pieces -> {args.model}")
         return 0
 
     return 2

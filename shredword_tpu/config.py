@@ -58,3 +58,33 @@ class BPEConfig:
     @property
     def target_merges(self) -> int:
         return self.target_vocab_size - 256
+
+
+@dataclasses.dataclass(frozen=True)
+class UnigramConfig:
+    """Unigram trainer config (greenfield — the reference only ships the
+    dormant normalizer/seed-vocab groundwork, normalize.h:7-12; its
+    MAX_SUBWORD_LEN=16 bounds counted piece lengths to 15 and
+    MAX_VOCAB_SIZE=100000 is the seed cap default here)."""
+
+    target_vocab_size: int = 8192
+    seed_size: int = 100_000
+    max_piece_len: int = 15
+    max_word_len: int = 32
+    shrink_factor: float = 0.75
+    num_em_rounds: int = 2
+    backend: str = "tpu"
+
+    def validate(self) -> "UnigramConfig":
+        if self.target_vocab_size < 1:
+            raise ConfigError("target_vocab_size must be positive")
+        if not (0.1 <= self.shrink_factor < 1.0):
+            raise ConfigError("shrink_factor must be in [0.1, 1)")
+        if self.max_piece_len < 1 or self.max_piece_len > 15:
+            raise ConfigError("max_piece_len must be in 1..15 "
+                              "(reference MAX_SUBWORD_LEN cap)")
+        if self.max_word_len < self.max_piece_len:
+            raise ConfigError("max_word_len must be >= max_piece_len")
+        if self.backend not in ("tpu", "cpu"):
+            raise ConfigError(f"unknown backend {self.backend!r}")
+        return self

@@ -1,0 +1,212 @@
+"""Device lattice ops for the Unigram trainer: batched forward-backward
+and Viterbi over word lattices.
+
+Layout: words padded to length L; piece lookups precomputed host-side
+(runtime shred_piece_table) as int32 id tables.  The DP scans positions
+with ``lax.scan`` carrying a [n_words, K] window of the last K lattice
+scores — no full-lattice gathers inside the loop.  All shapes static;
+scores float32 in log space with -inf for missing pieces.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.jaxcache import ensure_jax_cache
+
+ensure_jax_cache()
+
+NEG_INF = -jnp.inf
+
+
+def _tables(table: np.ndarray, logp: np.ndarray):
+    """From start-indexed id table [W, L, K] build scan-ready tables:
+
+    TS[j, w, k] : log prob of piece starting at j, length k+1   (ids_s)
+    TE[j, w, k] : log prob of piece ending at j+1, length k+1   (ids_e)
+    """
+    W, L, K = table.shape
+    ids_s = np.transpose(table, (1, 0, 2))          # [L, W, K]
+    ids_e = np.full_like(ids_s, -1)
+    for k in range(K):                              # end j+1 = start + k+1
+        ids_e[k:, :, k] = ids_s[: L - k, :, k]
+    lp = np.concatenate([logp, [-np.inf]]).astype(np.float32)
+    return ids_s, ids_e, lp
+
+
+def _lse(x, axis):
+    m = jnp.max(x, axis=axis)
+    safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    return jnp.where(
+        jnp.isfinite(m),
+        safe + jnp.log(jnp.sum(jnp.exp(x - safe[..., None]), axis=axis)),
+        NEG_INF)
+
+
+@partial(jax.jit, static_argnames=("n_pieces",))
+def _fb_device(ids_s, ids_e, lp_ext, wlen, wcount, n_pieces: int):
+    L, W, K = ids_s.shape
+    lp_s = lp_ext[jnp.where(ids_s >= 0, ids_s, n_pieces)]  # [L, W, K]
+    lp_e = lp_ext[jnp.where(ids_e >= 0, ids_e, n_pieces)]
+
+    # forward: alpha[j] for j = 1..L ; window carries alpha[j-K..j-1]
+    # window[:, -1] is alpha[j-1], window[:, -k] is alpha[j-k]
+    win0 = jnp.full((W, K), NEG_INF).at[:, -1].set(0.0)
+
+    def fwd(win, lp_e_j):
+        # piece of length k+1 ending at j starts at j-k-1 -> win[:, -k-1]
+        contrib = win[:, ::-1] + lp_e_j            # [W, K]
+        a_j = _lse(contrib, axis=1)
+        win = jnp.concatenate([win[:, 1:], a_j[:, None]], axis=1)
+        return win, a_j
+
+    _, alpha = jax.lax.scan(fwd, win0, lp_e)       # alpha: [L, W]
+    alpha_full = jnp.concatenate([jnp.zeros((1, W)), alpha], 0)  # [L+1, W]
+    alpha_n = jnp.take_along_axis(alpha_full, wlen[None, :], axis=0)[0]
+
+    # backward: beta[j] for j = L-1..0 ; beta[wlen] = 0 per word
+    j_idx = jnp.arange(L + 1)[:, None]
+    beta_end0 = jnp.where(j_idx[1:] == wlen[None, :], 0.0, NEG_INF)  # [L,W]
+
+    def bwd(win, xs):
+        lp_s_j, at_end = xs
+        # win[:, k] = beta[j+k+1]
+        contrib = win + lp_s_j
+        b_j = _lse(contrib, axis=1)
+        b_j = jnp.where(at_end, 0.0, b_j)          # beta[wlen] = 0
+        win = jnp.concatenate([b_j[:, None], win[:, :-1]], axis=1)
+        return win, b_j
+
+    winb0 = jnp.full((W, K), NEG_INF)
+    at_end = (j_idx[:-1] == wlen[None, :])         # [L, W]
+    _, beta_rev = jax.lax.scan(bwd, winb0, (lp_s[::-1], at_end[::-1]))
+    beta = beta_rev[::-1]                          # beta[j], j = 0..L-1
+    beta_full = jnp.concatenate([beta, jnp.zeros((1, W))], 0)  # [L+1, W]
+    beta_full = jnp.where(j_idx == wlen[None, :], 0.0, beta_full)
+
+    # posteriors: piece at (start j, len k+1): alpha[j] + lp + beta[j+k+1]
+    a_j = alpha_full[:-1]                          # [L, W] alpha[j]
+    k_idx = jnp.arange(K)[None, None, :]
+    end = jnp.minimum(jnp.arange(L)[:, None, None] + k_idx + 1, L)
+    b_end = jnp.take_along_axis(
+        jnp.broadcast_to(beta_full.T[:, :, None], (W, L + 1, K)),
+        jnp.broadcast_to(end.transpose(1, 0, 2), (W, L, K)),
+        axis=1)                                    # [W, L, K]
+    b_end = jnp.transpose(b_end, (1, 0, 2))        # [L, W, K]
+    norm = jnp.where(jnp.isfinite(alpha_n), alpha_n, 0.0)
+    post = jnp.exp(a_j[:, :, None] + lp_s + b_end - norm[None, :, None])
+    post = post * wcount[None, :, None]
+    post = jnp.where(ids_s >= 0, post, 0.0)
+
+    counts = jnp.zeros(n_pieces + 1, jnp.float32).at[
+        jnp.where(ids_s >= 0, ids_s, n_pieces).reshape(-1)
+    ].add(post.reshape(-1))
+    ll = jnp.sum(jnp.where(jnp.isfinite(alpha_n), alpha_n * wcount, 0.0))
+    return counts[:n_pieces], ll
+
+
+def _np_lse(x, axis):
+    m = np.max(x, axis=axis)
+    safe = np.where(np.isfinite(m), m, 0.0)
+    with np.errstate(over="ignore"):
+        s = np.sum(np.exp(x - np.expand_dims(safe, axis)), axis=axis)
+    with np.errstate(divide="ignore"):
+        return np.where(np.isfinite(m), safe + np.log(s), -np.inf)
+
+
+def _fb_numpy(ids_s, ids_e, lp_ext, wlen, wcount, n_pieces: int):
+    """Vectorized host fallback — same math as _fb_device, no JAX (the
+    device path costs a multi-minute cold compile through the remote
+    tunnel; small corpora and CLI one-shots should not pay it)."""
+    L, W, K = ids_s.shape
+    lp_s = lp_ext[np.where(ids_s >= 0, ids_s, n_pieces)]
+    lp_e = lp_ext[np.where(ids_e >= 0, ids_e, n_pieces)]
+    alpha = np.full((L + 1, W), -np.inf)
+    alpha[0] = 0.0
+    for j in range(1, L + 1):
+        lo = max(0, j - K)
+        win = alpha[lo:j][::-1]                      # [k], k=1..j-lo
+        alpha[j] = _np_lse(win.T + lp_e[j - 1, :, :j - lo], axis=1)
+    wl = wlen.astype(np.int64)
+    alpha_n = alpha[wl, np.arange(W)]
+    beta = np.full((L + 1, W), -np.inf)
+    beta[wl, np.arange(W)] = 0.0
+    for j in range(L - 1, -1, -1):
+        hi = min(K, L - j)
+        win = beta[j + 1:j + 1 + hi]                 # [k, W]
+        cand = _np_lse(win.T + lp_s[j, :, :hi], axis=1)
+        beta[j] = np.where(j == wl, 0.0, cand)
+    norm = np.where(np.isfinite(alpha_n), alpha_n, 0.0)
+    end = np.minimum(np.arange(L)[:, None, None] + np.arange(K) + 1, L)
+    b_end = beta[end, np.arange(W)[None, :, None]]
+    with np.errstate(over="ignore", invalid="ignore")\
+            :
+        post = np.exp(alpha[:-1, :, None] + lp_s + b_end
+                      - norm[None, :, None])
+    post = np.where(ids_s >= 0, post * wcount[None, :, None], 0.0)
+    counts = np.zeros(n_pieces + 1)
+    np.add.at(counts, np.where(ids_s >= 0, ids_s, n_pieces).reshape(-1),
+              post.reshape(-1))
+    ll = float(np.sum(np.where(np.isfinite(alpha_n), alpha_n * wcount, 0.0)))
+    return counts[:n_pieces], ll
+
+
+def forward_backward(table: np.ndarray, wlen: np.ndarray,
+                     wcount: np.ndarray, logp: np.ndarray, n_pieces: int,
+                     backend: str = "tpu"):
+    """Expected piece counts + corpus log likelihood.
+
+    table: int32[W, L, K] start-indexed piece ids (-1 = absent)
+    """
+    ids_s, ids_e, lp_ext = _tables(table, logp)
+    if backend == "cpu":
+        return _fb_numpy(ids_s, ids_e, lp_ext, wlen,
+                         wcount.astype(np.float64), n_pieces)
+    dev_args = (jnp.asarray(ids_s), jnp.asarray(ids_e),
+                jnp.asarray(lp_ext), jnp.asarray(wlen),
+                jnp.asarray(wcount))
+    counts, ll = _fb_device(*dev_args, n_pieces=n_pieces)
+    return np.asarray(counts), float(ll)
+
+
+@partial(jax.jit, static_argnames=())
+def _viterbi_device(ids_e, lp_ext, wlen):
+    """Best-path scores and backpointers (host reconstructs paths)."""
+    L, W, K = ids_e.shape
+    n_ext = lp_ext.shape[0] - 1
+    lp_e = lp_ext[jnp.where(ids_e >= 0, ids_e, n_ext)]
+    win0 = jnp.full((W, K), NEG_INF).at[:, -1].set(0.0)
+
+    def step(win, lp_e_j):
+        contrib = win[:, ::-1] + lp_e_j
+        best_k = jnp.argmax(contrib, axis=1)
+        a_j = jnp.max(contrib, axis=1)
+        win = jnp.concatenate([win[:, 1:], a_j[:, None]], axis=1)
+        return win, (a_j, best_k.astype(jnp.int32))
+
+    _, (score, back) = jax.lax.scan(step, win0, lp_e)
+    return score, back
+
+
+def viterbi(table: np.ndarray, wlen: np.ndarray, logp: np.ndarray):
+    """Batched Viterbi segmentation.  Returns list of piece-id lists."""
+    ids_s, ids_e, lp_ext = _tables(table, logp)
+    score, back = _viterbi_device(jnp.asarray(ids_e), jnp.asarray(lp_ext),
+                                  jnp.asarray(wlen))
+    back = np.asarray(back)            # [L, W] best piece length - 1
+    ids_s_np = ids_s                   # [L, W, K]
+    out = []
+    for w in range(table.shape[0]):
+        ids = []
+        j = int(wlen[w])
+        while j > 0:
+            k = int(back[j - 1, w])
+            start = j - (k + 1)
+            ids.append(int(ids_s_np[start, w, k]))
+            j = start
+        out.append(ids[::-1])
+    return out

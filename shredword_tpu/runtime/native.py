@@ -89,6 +89,27 @@ def _declare(L: ctypes.CDLL) -> None:
     L.shred_encoder_free.argtypes = [p]
     L.shred_encoder_free.restype = None
 
+    L.shred_normalize.argtypes = [ctypes.c_char_p, i64, ctypes.c_void_p, i64]
+    L.shred_normalize.restype = i64
+    L.shred_seed_vocab_create.argtypes = []
+    L.shred_seed_vocab_create.restype = p
+    L.shred_seed_vocab_free.argtypes = [p]
+    L.shred_seed_vocab_free.restype = None
+    L.shred_seed_vocab_add.argtypes = [p, ctypes.c_char_p, i64, i64,
+                                       ctypes.c_uint64]
+    L.shred_seed_vocab_add.restype = ctypes.c_int
+    L.shred_seed_vocab_size.argtypes = [p]
+    L.shred_seed_vocab_size.restype = i64
+    L.shred_seed_vocab_export_bytes.argtypes = [p, i64]
+    L.shred_seed_vocab_export_bytes.restype = i64
+    L.shred_seed_vocab_export.argtypes = [p, i64, ctypes.c_void_p,
+                                          ctypes.c_void_p, ctypes.c_void_p]
+    L.shred_seed_vocab_export.restype = i64
+    L.shred_piece_table.argtypes = [ctypes.c_char_p, ctypes.c_void_p, i64,
+                                    ctypes.c_char_p, ctypes.c_void_p, i64,
+                                    i64, i64, ctypes.c_void_p]
+    L.shred_piece_table.restype = i64
+
 
 def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.c_void_p)
@@ -279,3 +300,75 @@ class NativeEncoder:
             self.free()
         except Exception:
             pass
+
+
+def normalize(data: bytes) -> bytes:
+    """SentencePiece-style normalization with the reference's exact
+    line semantics (normalize.cpp:24-59): ASCII lowercase, whitespace
+    runs -> U+2581, leading run dropped, trailing marker stripped."""
+    cap = len(data) * 3 + 16
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib().shred_normalize(data, len(data), _ptr(out), cap)
+    if n < 0:
+        out = np.empty(-n, dtype=np.uint8)
+        n = lib().shred_normalize(data, len(data), _ptr(out), -n)
+    return out[:n].tobytes()
+
+
+class SeedVocab:
+    """Substring counter seeding the Unigram trainer (reference
+    add_subwords/VocabTable semantics, normalize.cpp:171-237)."""
+
+    def __init__(self):
+        self._h = lib().shred_seed_vocab_create()
+
+    def add(self, line: bytes, max_len: int = 15, weight: int = 1) -> None:
+        rc = lib().shred_seed_vocab_add(self._h, line, len(line),
+                                        max_len, weight)
+        if rc != 0:
+            raise RuntimeError("seed vocab add failed")
+
+    def __len__(self) -> int:
+        return int(lib().shred_seed_vocab_size(self._h))
+
+    def export(self, top_k: int) -> tuple[list[bytes], np.ndarray]:
+        """Top-k pieces by count desc (lex tie-break) + their counts."""
+        nbytes = int(lib().shred_seed_vocab_export_bytes(self._h, top_k))
+        blob = np.empty(max(nbytes, 1), dtype=np.uint8)
+        lens = np.empty(max(top_k, 1), dtype=np.int32)
+        counts = np.empty(max(top_k, 1), dtype=np.uint64)
+        n = int(lib().shred_seed_vocab_export(self._h, top_k, _ptr(blob),
+                                              _ptr(lens), _ptr(counts)))
+        pieces, off = [], 0
+        for i in range(n):
+            pieces.append(blob[off:off + lens[i]].tobytes())
+            off += int(lens[i])
+        return pieces, counts[:n].astype(np.int64)
+
+    def free(self) -> None:
+        if self._h:
+            lib().shred_seed_vocab_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.free()
+        except Exception:
+            pass
+
+
+def piece_table(words: list[bytes], pieces: list[bytes], lmax: int,
+                max_piece_len: int) -> np.ndarray:
+    """int32[n_words, lmax, max_piece_len] piece ids: entry (w, j, l-1)
+    is the id of pieces[...] equal to words[w][j:j+l], or -1.  The
+    host-side precompute feeding the TPU lattice forward-backward."""
+    blob = b"".join(words)
+    offsets = np.zeros(len(words) + 1, dtype=np.int64)
+    np.cumsum([len(w) for w in words], out=offsets[1:])
+    pblob = b"".join(pieces)
+    plens = np.asarray([len(p) for p in pieces], dtype=np.int32)
+    out = np.empty((len(words), lmax, max_piece_len), dtype=np.int32)
+    lib().shred_piece_table(blob, _ptr(offsets), len(words), pblob,
+                            _ptr(plens), len(pieces), lmax, max_piece_len,
+                            _ptr(out))
+    return out

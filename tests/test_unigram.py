@@ -1,0 +1,230 @@
+"""Unigram subsystem tests: normalizer parity, seed enumeration,
+lattice forward-backward vs a transparent numpy oracle, EM training,
+Viterbi round-trip."""
+
+import math
+
+import numpy as np
+import pytest
+
+from shredword_tpu.models.unigram import (UnigramTokenizer, UnigramTrainer,
+                                          _prep_words)
+from shredword_tpu.ops import unigram_ops
+from shredword_tpu.runtime import native
+
+MARKER = "▁".encode()
+
+
+# ---------------------------------------------------------------------
+# normalizer (reference normalize_line semantics, normalize.cpp:24-59)
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("raw,expected", [
+    (b"Hello World", "hello▁world".encode()),
+    (b"  leading", b"leading"),
+    (b"trailing   ", b"trailing"),
+    (b"A\tB\r C", "a▁b▁c".encode()),
+    (b"", b""),
+    (b"   ", b""),
+    (b"MiXeD CaSe", "mixed▁case".encode()),
+])
+def test_normalize_line_semantics(raw, expected):
+    assert native.normalize(raw) == expected
+
+
+def test_normalize_multiline():
+    out = native.normalize(b"One Two\nThree  Four\n")
+    assert out == "one▁two\nthree▁four\n".encode()
+
+
+def test_normalize_parity_with_reference_binary(tmp_path):
+    """Byte-compare against the compiled reference normalize_line."""
+    import ctypes
+    import os
+    import subprocess
+    src = "/root/reference/shredword/csrc/bpe/normalize.cpp"
+    if not os.path.exists(src):
+        pytest.skip("reference tree unavailable")
+    so = tmp_path / "refnorm.so"
+    r = subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-fPIC", "-shared", "-o", str(so), src,
+         "-I", os.path.dirname(src)], capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"reference normalize build failed: {r.stderr[:200]}")
+    ref = ctypes.CDLL(str(so))
+    ref.normalize_line.restype = ctypes.c_int
+    cases = [b"Hello  World", b"  A B  ", b"\tTabs\tHere\t", b"x",
+             b"CAPS lower 123 !@#", b"", b" ", b"a  b   c    d"]
+    for raw in cases:
+        buf = ctypes.create_string_buffer(4 * len(raw) + 16)
+        n = ref.normalize_line(raw, buf, len(buf))
+        assert native.normalize(raw) == buf.raw[:n]
+
+
+# ---------------------------------------------------------------------
+# seed vocabulary (reference add_subwords semantics)
+# ---------------------------------------------------------------------
+
+def test_seed_vocab_matches_bruteforce():
+    line = native.normalize(b"abab  cd Abab")
+    sv = native.SeedVocab()
+    sv.add(line, max_len=15)
+    pieces, counts = sv.export(10_000)
+    got = dict(zip(pieces, counts.tolist()))
+    # brute force with the reference's rules: skip positions that START
+    # with the marker, substrings may span markers, lengths 1..15
+    exp: dict[bytes, int] = {}
+    i = 0
+    while i < len(line):
+        if line[i:i + 3] == MARKER:
+            i += 3
+            continue
+        for l in range(1, min(15, len(line) - i) + 1):
+            s = line[i:i + l]
+            exp[s] = exp.get(s, 0) + 1
+        i += 1
+    assert got == exp
+
+
+def test_seed_vocab_weight_extension():
+    sv = native.SeedVocab()
+    sv.add(b"ab", weight=3)
+    pieces, counts = sv.export(10)
+    assert dict(zip(pieces, counts.tolist())) == {b"a": 3, b"b": 3, b"ab": 3}
+
+
+# ---------------------------------------------------------------------
+# lattice forward-backward vs numpy oracle
+# ---------------------------------------------------------------------
+
+def _numpy_fb(words, wcounts, pieces, logp, L, K):
+    index = {p: i for i, p in enumerate(pieces)}
+    counts = np.zeros(len(pieces))
+    ll = 0.0
+    for w, wc in zip(words, wcounts):
+        n = len(w)
+        alpha = np.full(n + 1, -np.inf)
+        alpha[0] = 0.0
+        for j in range(1, n + 1):
+            terms = []
+            for l in range(1, min(K, j) + 1):
+                pid = index.get(w[j - l:j])
+                if pid is not None and np.isfinite(alpha[j - l]):
+                    terms.append(alpha[j - l] + logp[pid])
+            if terms:
+                m = max(terms)
+                alpha[j] = m + math.log(sum(math.exp(t - m) for t in terms))
+        beta = np.full(n + 1, -np.inf)
+        beta[n] = 0.0
+        for j in range(n - 1, -1, -1):
+            terms = []
+            for l in range(1, min(K, n - j) + 1):
+                pid = index.get(w[j:j + l])
+                if pid is not None and np.isfinite(beta[j + l]):
+                    terms.append(logp[pid] + beta[j + l])
+            if terms:
+                m = max(terms)
+                beta[j] = m + math.log(sum(math.exp(t - m) for t in terms))
+        if not np.isfinite(alpha[n]):
+            continue
+        ll += wc * alpha[n]
+        for j in range(n):
+            for l in range(1, min(K, n - j) + 1):
+                pid = index.get(w[j:j + l])
+                if pid is not None:
+                    counts[pid] += wc * math.exp(
+                        alpha[j] + logp[pid] + beta[j + l] - alpha[n])
+    return counts, ll
+
+
+def test_forward_backward_matches_numpy():
+    words = [b"abc", b"ab", b"aabb", b"b"]
+    wcounts = np.array([2, 5, 1, 7], np.float32)
+    pieces = [b"a", b"b", b"c", b"ab", b"bc", b"aab"]
+    logp = np.log(np.array([.3, .3, .1, .15, .1, .05]))
+    L, K = 6, 3
+    table = native.piece_table(words, pieces, L, K)
+    wlen = np.array([len(w) for w in words], np.int32)
+    counts, ll = unigram_ops.forward_backward(
+        table, wlen, wcounts, logp, len(pieces))
+    exp_counts, exp_ll = _numpy_fb(words, wcounts, pieces, logp, L, K)
+    np.testing.assert_allclose(counts, exp_counts, rtol=1e-4, atol=1e-4)
+    assert abs(ll - exp_ll) < 1e-3
+
+
+def test_forward_backward_numpy_fallback_matches_device():
+    words = [b"abc", b"ab", b"aabb", b"b", b"zq"]
+    wcounts = np.array([2, 5, 1, 7, 4], np.float32)
+    pieces = [b"a", b"b", b"c", b"ab", b"bc", b"aab", b"z", b"q"]
+    logp = np.log(np.ones(len(pieces)) / len(pieces))
+    L, K = 6, 3
+    table = native.piece_table(words, pieces, L, K)
+    wlen = np.array([len(w) for w in words], np.int32)
+    c_dev, ll_dev = unigram_ops.forward_backward(
+        table, wlen, wcounts, logp, len(pieces), backend="tpu")
+    c_cpu, ll_cpu = unigram_ops.forward_backward(
+        table, wlen, wcounts, logp, len(pieces), backend="cpu")
+    np.testing.assert_allclose(c_cpu, c_dev, rtol=1e-4, atol=1e-4)
+    assert abs(ll_cpu - ll_dev) < 1e-3
+
+
+def test_viterbi_matches_bruteforce():
+    words = [b"abc", b"aab", b"bb"]
+    pieces = [b"a", b"b", b"c", b"ab", b"bc"]
+    logp = np.log(np.array([.2, .2, .1, .3, .2]))
+    L, K = 4, 2
+    table = native.piece_table(words, pieces, L, K)
+    wlen = np.array([len(w) for w in words], np.int32)
+    paths = unigram_ops.viterbi(table, wlen, logp)
+    index = {p: i for i, p in enumerate(pieces)}
+
+    def brute(w):
+        best = (-np.inf, None)
+        def rec(j, acc, score):
+            nonlocal best
+            if j == len(w):
+                if score > best[0]:
+                    best = (score, acc)
+                return
+            for l in range(1, min(K, len(w) - j) + 1):
+                pid = index.get(w[j:j + l])
+                if pid is not None:
+                    rec(j + l, acc + [pid], score + logp[pid])
+        rec(0, [], 0.0)
+        return best
+
+    for w, path in zip(words, paths):
+        score, exp_path = brute(w)
+        got_score = sum(logp[i] for i in path)
+        assert abs(got_score - score) < 1e-6
+        assert b"".join(pieces[i] for i in path) == w
+
+
+# ---------------------------------------------------------------------
+# end-to-end training
+# ---------------------------------------------------------------------
+
+def test_unigram_end_to_end(tmp_path):
+    corpus = tmp_path / "c.txt"
+    text = ("the cat sat on the mat " * 30 + "\n" +
+            "a cat and a hat " * 30 + "\n") * 3
+    corpus.write_text(text)
+    t = UnigramTrainer(target_vocab_size=40, seed_size=500,
+                       max_word_len=16, num_em_rounds=2)
+    t.load_corpus(str(corpus))
+    n = t.train()
+    assert n <= 40
+    assert all(len(p) == 1 for p in t.pieces if len(p) == 1)  # singles kept
+    model = tmp_path / "u.model"
+    t.save(str(model))
+    tok = UnigramTokenizer.load(str(model))
+    ids = tok.encode("the cat sat")
+    assert tok.decode(ids) == "the cat sat"
+    # marker-prefixed words segment fully
+    assert all(isinstance(i, int) and 0 <= i < n for i in ids)
+
+
+def test_prep_words_dedup():
+    words, counts = _prep_words(b"aa bb aa\ncc bb", 16)
+    d = dict(zip(words, counts.tolist()))
+    assert d == {MARKER + b"aa": 2, MARKER + b"bb": 2, MARKER + b"cc": 1}
