@@ -31,6 +31,10 @@ class BPEConfig:
     compact_every: int = 64             # host-side re-compactions (steps)
     tie_break: str = "lex"              # "lex" | "faithful" (CPU selector)
     backend: str = "tpu"                # "tpu" | "cpu"
+    engine: str = "auto"                # "auto" | "hist" | "flat" — TPU
+                                        # merge-loop engine (hist = fused
+                                        # Pallas kernel + pair table;
+                                        # flat = sort-based stream)
 
     def normalized(self) -> "BPEConfig":
         """Apply reference defaulting rules (bpe.cpp:124-130)."""
@@ -53,6 +57,8 @@ class BPEConfig:
             raise ConfigError(f"unknown tie_break {self.tie_break!r}")
         if self.backend not in ("tpu", "cpu"):
             raise ConfigError(f"unknown backend {self.backend!r}")
+        if self.engine not in ("auto", "hist", "flat"):
+            raise ConfigError(f"unknown engine {self.engine!r}")
         return self.normalized()
 
     @property

@@ -148,6 +148,17 @@ class BPETrainer:
             log.info("Training completed: 0 merges performed.")
             return 0
 
+        if cfg.engine in ("auto", "hist") and len(self._merges) == 0:
+            out = self._train_hist(tokens, word_id, target)
+            if out is not None:
+                return out
+            if cfg.engine == "hist":
+                raise TrainingError(
+                    "hist engine requested but the corpus/vocab does not "
+                    "fit its layout (word > 64 tokens or vocab > 2048)")
+
+        log.debug("hist engine unavailable for this corpus; using the "
+                  "flat-stream engine")
         state = bpe_ops.make_state(tokens, word_id, wcount, _bucket(n))
         ts = bpe_ops.train_init(state, cfg.target_merges)
 
@@ -192,6 +203,35 @@ class BPETrainer:
         log.info("Training completed: %d merges performed. (%.2f s)",
                  n_merges, t.elapsed)
         return n_merges
+
+    def _train_hist(self, tokens, word_id, target) -> int | None:
+        """Histogram engine (ops/bpe_hist.py): fused Pallas merge kernel
+        over the by-word layout with a maintained pair table — no global
+        sort per merge.  Returns None if the corpus does not fit."""
+        import jax
+
+        from ..ops import bpe_hist
+
+        cfg = self.config
+        counts = np.minimum(self._arrays.counts,
+                            np.iinfo(np.int32).max).astype(np.int32)
+        interpret = jax.default_backend() == "cpu"
+        with log.Timer("train", nbytes=self._arrays.total_raw_bytes) as t:
+            out = bpe_hist.hist_train(
+                tokens, word_id, counts, target_merges=target,
+                unk_id=cfg.unk_id, min_pair_freq=cfg.min_pair_freq,
+                interpret=interpret)
+            if out is None:
+                return None
+            merges, freqs, ftok, fwid = out
+        self._merges = merges.astype(np.int32)
+        self._merge_freqs = freqs.astype(np.int64)
+        self._final_tokens = ftok
+        self._final_word_id = fwid
+        self._trained = True
+        log.info("Training completed: %d merges performed. (%.2f s, "
+                 "hist engine)", len(merges), t.elapsed)
+        return len(merges)
 
     # ------------------------------------------------------------------
     # results

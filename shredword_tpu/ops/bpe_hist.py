@@ -1,0 +1,338 @@
+"""Histogram-engine BPE training: 2D by-word layout + maintained pair
+table + fused Pallas merge kernel.
+
+The flat-stream engine (bpe_ops.py) pays a global sort per merge.  This
+engine never sorts after initialization:
+
+  layout   tokens as int32[L, W] — one WORD PER LANE COLUMN (lane-major
+           so the VPU runs full-width), PAD = -3 beyond each word
+  hist     int32[V, V] exact pair counts, maintained by per-merge
+           deltas; best pair = one argmax (row-major order = the
+           documented lex tie-break)
+  kernel   one fused Pallas pass per merge: match + greedy
+           left-to-right select + in-column hole-march compaction +
+           delta vectors via masked one-hot matmuls on the MXU,
+           gated per chunk on "any match here"
+
+Delta exactness (reference bpe_merge_batch accounting, bpe.cpp:437-470):
+a merge of (a,b)->N at column row r destroys pair (Lval, a) and creates
+(Lval, N) with the SAME weight, where Lval is the left neighbor AFTER
+earlier occurrences in the same word merged (sel[r-2] override); ditto
+(b, Rval)/(N, Rval) with the PRE-merge right neighbor t[r+2].  One
+masked one-hot matmul per side therefore yields both the subtraction
+and the addition vector.  The merged pair's own cell is zeroed (all
+occurrences merge: greedy overlap rule leaves none behind).
+
+Conformance: bit-identical merge sequences to bpe_ops.train_loop (lex
+tie-break) — enforced by differential tests on random corpora.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.jaxcache import ensure_jax_cache
+
+ensure_jax_cache()
+
+PAD = -3
+CHUNK = 512          # lane columns per grid step (multiple of 128)
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+# ---------------------------------------------------------------------
+# layout
+# ---------------------------------------------------------------------
+
+class HistCorpus(NamedTuple):
+    tw: jax.Array      # int32[L, W] tokens, PAD beyond each word
+    wcount: jax.Array  # int32[1, W] word weights (0 on padding columns)
+
+
+def build_layout(tokens: np.ndarray, word_id: np.ndarray,
+                 wcount: np.ndarray, max_word_len: int) -> HistCorpus | None:
+    """Pack the flat dedup stream into [L, W]; None if a word exceeds
+    max_word_len (caller falls back to the flat engine).
+
+    wcount is PER WORD (length = number of words), unlike the flat
+    engine's per-position convention.
+    """
+    if len(tokens) == 0:
+        return None
+    n_words = int(word_id[-1]) + 1
+    lens = np.bincount(word_id, minlength=n_words)
+    L = int(lens.max(initial=1))
+    if L > max_word_len:
+        return None
+    L = max(8, 1 << int(np.ceil(np.log2(L))))
+    W = -(-n_words // CHUNK) * CHUNK
+    tw = np.full((L, W), PAD, np.int32)
+    starts = np.zeros(n_words + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    pos = np.arange(len(tokens)) - starts[word_id]
+    tw[pos, word_id] = tokens
+    wc = np.zeros((1, W), np.int32)
+    wc[0, :n_words] = wcount
+    return HistCorpus(jnp.asarray(tw), jnp.asarray(wc))
+
+
+# ---------------------------------------------------------------------
+# hist init (once per training): sort-based exact count -> scatter
+# ---------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("v",))
+def init_hist(c: HistCorpus, unk_id, *, v: int) -> jax.Array:
+    L, W = c.tw.shape
+    t = c.tw.reshape(-1)
+    nxt = jnp.roll(c.tw, -1, axis=0).at[-1].set(PAD).reshape(-1)
+    w = jnp.broadcast_to(c.wcount, (L, W)).reshape(-1)
+    valid = (t >= 0) & (nxt >= 0) & (t != unk_id) & (nxt != unk_id)
+    key = jnp.where(valid, t * v + nxt, v * v)
+    cnt = jnp.where(valid, w, 0)
+    hist = jnp.zeros(v * v + 1, jnp.int32).at[key].add(cnt, mode="drop")
+    return hist[:-1].reshape(v, v)
+
+
+# ---------------------------------------------------------------------
+# fused merge kernel
+# ---------------------------------------------------------------------
+
+def _shift_up(x, fill):
+    r = pltpu.roll(x, shift=x.shape[0] - 1, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row == x.shape[0] - 1, fill, r)
+
+
+def _shift_down(x, fill):
+    r = pltpu.roll(x, shift=1, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row == 0, fill, r)
+
+
+def _merge_kernel(v: int, L: int, scal_ref, t_ref, w_ref,
+                  tout_ref, dl_ref, dr_ref, nm_ref):
+    a = scal_ref[0]
+    b = scal_ref[1]
+    new = scal_ref[2]
+    unk = scal_ref[3]
+    tt = t_ref[:]                                    # [L, C] int32
+    ww = w_ref[:]                                    # [1, C]
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, CHUNK), 0)
+
+    nxt = _shift_up(tt, PAD)
+    m = ((tt == a) & (nxt == b)).astype(jnp.int32)
+    sel = jnp.zeros((L, CHUNK), jnp.int32)
+    for l in range(L):                               # greedy overlap rule
+        prev = _shift_down(sel, 0)
+        sel = jnp.where(row == l, m * (1 - prev), sel)
+
+    t2 = tt + sel * (new - tt)
+    hole = _shift_down(sel, 0)
+    for _ in range(L - 1):                           # hole march
+        t_dn = _shift_up(t2, PAD)
+        t2 = t2 + hole * (t_dn - t2)
+        hole = _shift_down(hole, 0)
+    tout_ref[:] = t2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dl_ref[:] = jnp.zeros_like(dl_ref)
+        dr_ref[:] = jnp.zeros_like(dr_ref)
+        nm_ref[0, 0] = 0
+
+    n_match = jnp.sum(sel)
+    nm_ref[0, 0] += n_match
+
+    @pl.when(n_match > 0)
+    def _():
+        # neighbor values from the PRE-merge matrix with the
+        # earlier-occurrence override (sel two rows up -> left is `new`)
+        sel2 = _shift_down(_shift_down(sel, 0), 0)
+        t_up = _shift_down(tt, PAD)                  # t[r-1]
+        lval = t_up + sel2 * (new - t_up)
+        t_dn2 = _shift_up(_shift_up(tt, PAD), PAD)   # t[r+2]
+        rval = t_dn2
+
+        wsel = sel * ww                              # weight at matches
+        wl = jnp.where((lval >= 0) & (lval != unk), wsel, 0)
+        wr = jnp.where((rval >= 0) & (rval != unk), wsel, 0)
+
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, v), 1)
+        acc_l = jnp.zeros((1, v), jnp.float32)
+        acc_r = jnp.zeros((1, v), jnp.float32)
+        for l in range(L):
+            oh_l = (lval[l][:, None] == iota_v).astype(jnp.float32)
+            oh_r = (rval[l][:, None] == iota_v).astype(jnp.float32)
+            lw = wl[l].astype(jnp.float32)[None, :]
+            rw = wr[l].astype(jnp.float32)[None, :]
+            acc_l += jax.lax.dot_general(
+                lw, oh_l, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_r += jax.lax.dot_general(
+                rw, oh_r, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dl_ref[:] += acc_l.astype(jnp.int32)
+        dr_ref[:] += acc_r.astype(jnp.int32)
+
+
+def make_merge_step(v: int, L: int, W: int, interpret: bool = False):
+    grid = W // CHUNK
+    kernel = partial(_merge_kernel, v, L)
+
+    @jax.jit
+    def merge_step(tw, wcount, scal):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(grid,),
+                in_specs=[
+                    pl.BlockSpec((L, CHUNK), lambda i, s: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, CHUNK), lambda i, s: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((L, CHUNK), lambda i, s: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, v), lambda i, s: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, v), lambda i, s: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1), lambda i, s: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((L, W), jnp.int32),
+                jax.ShapeDtypeStruct((1, v), jnp.int32),
+                jax.ShapeDtypeStruct((1, v), jnp.int32),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(scal, tw, wcount)
+
+    return merge_step
+
+
+# ---------------------------------------------------------------------
+# training loop
+# ---------------------------------------------------------------------
+
+class HistTrainState(NamedTuple):
+    corpus: HistCorpus
+    hist: jax.Array         # int32[V, V]
+    merges: jax.Array       # int32[M_max, 2]
+    merge_freqs: jax.Array  # int32[M_max]
+    n_merges: jax.Array     # int32
+    done: jax.Array         # bool
+
+
+def hist_train_init(c: HistCorpus, unk_id: int, max_merges: int,
+                    v: int) -> HistTrainState:
+    return HistTrainState(
+        corpus=c,
+        hist=init_hist(c, jnp.int32(unk_id), v=v),
+        merges=jnp.zeros((max_merges, 2), jnp.int32),
+        merge_freqs=jnp.zeros(max_merges, jnp.int32),
+        n_merges=jnp.int32(0),
+        done=jnp.bool_(False),
+    )
+
+
+def make_train_loop(v: int, L: int, W: int, *, target_merges: int,
+                    max_steps: int, interpret: bool = False):
+    merge_step = make_merge_step(v, L, W, interpret=interpret)
+
+    @jax.jit
+    def train_loop(ts: HistTrainState, unk_id, min_pair_freq):
+        def cond_fn(carry):
+            ts, steps = carry
+            return ((~ts.done) & (ts.n_merges < target_merges)
+                    & (steps < max_steps))
+
+        def body_fn(carry):
+            ts, steps = carry
+            flat = ts.hist.reshape(-1)
+            masked = jnp.where(flat >= min_pair_freq, flat, 0)
+            best = jnp.argmax(masked)
+            cnt = masked[best]
+            a = (best // v).astype(jnp.int32)
+            b = (best % v).astype(jnp.int32)
+
+            def do_merge(ts: HistTrainState) -> HistTrainState:
+                new = 256 + ts.n_merges
+                scal = jnp.stack([a, b, new, unk_id]).astype(jnp.int32)
+                t2, dl, dr, _ = merge_step(ts.corpus.tw, ts.corpus.wcount,
+                                           scal)
+                hist = ts.hist
+                hist = hist.at[:, a].add(-dl[0])
+                hist = hist.at[:, new].add(dl[0])
+                hist = hist.at[b, :].add(-dr[0])
+                hist = hist.at[new, :].add(dr[0])
+                hist = hist.at[a, b].set(0)
+                merges = ts.merges.at[ts.n_merges].set(
+                    jnp.stack([a, b]).astype(jnp.int32))
+                freqs = ts.merge_freqs.at[ts.n_merges].set(
+                    cnt.astype(jnp.int32))
+                return HistTrainState(
+                    HistCorpus(t2, ts.corpus.wcount), hist, merges, freqs,
+                    ts.n_merges + 1, jnp.bool_(False))
+
+            ts = jax.lax.cond(
+                cnt == 0,
+                lambda s: s._replace(done=jnp.bool_(True)),
+                do_merge,
+                ts)
+            return ts, steps + 1
+
+        ts, _ = jax.lax.while_loop(cond_fn, body_fn, (ts, jnp.int32(0)))
+        return ts
+
+    return train_loop
+
+
+def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
+               *, target_merges: int, unk_id: int = -1,
+               min_pair_freq: int = 2, max_word_len: int = 64,
+               max_steps_per_call: int = 512, interpret: bool = False,
+               _cache={}):
+    """Full driver.  Returns (merges[M,2], freqs[M], final flat tokens,
+    final word_id) or None if the layout does not fit."""
+    v = 256 + target_merges
+    v = -(-v // 128) * 128
+    c = build_layout(tokens, word_id, wcount, max_word_len)
+    if c is None or v > 2048:
+        return None
+    L, W = c.tw.shape
+    ts = hist_train_init(c, unk_id, max(target_merges, 1), v)
+    key = (v, L, W, target_merges, max_steps_per_call, interpret)
+    if key not in _cache:
+        _cache[key] = make_train_loop(
+            v, L, W, target_merges=target_merges,
+            max_steps=max_steps_per_call, interpret=interpret)
+    loop = _cache[key]
+    while True:
+        n_before = int(ts.n_merges)
+        ts = loop(ts, jnp.int32(unk_id), jnp.int32(min_pair_freq))
+        n_after = int(ts.n_merges)
+        if bool(ts.done) or n_after >= target_merges or n_after == n_before:
+            break
+    n = int(ts.n_merges)
+    tw = np.asarray(ts.corpus.tw)
+    live = tw >= 0
+    n_words_live = int(np.asarray(ts.corpus.wcount != 0).sum())
+    cols = live.T                      # [W, L]
+    final_tokens = tw.T[cols]
+    final_word_id = np.repeat(np.arange(tw.shape[1], dtype=np.int32),
+                              cols.sum(1))
+    keep = final_word_id < n_words_live
+    return (np.asarray(ts.merges)[:n], np.asarray(ts.merge_freqs)[:n],
+            final_tokens[keep].astype(np.int32), final_word_id[keep])

@@ -1,0 +1,95 @@
+"""Differential tests: hist engine (2D layout + Pallas kernel, run in
+interpret mode on CPU) vs the flat-stream engine (bpe_ops) — the merge
+sequences must be bit-identical (both implement greedy lex-tie-break
+BPE with exact counts)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shredword_tpu.ops import bpe_hist, bpe_ops
+
+
+def _flat_train(tokens, word_id, wcount, target, unk, minf):
+    cap = max(1024, 1 << int(np.ceil(np.log2(max(len(tokens), 2)))))
+    state = bpe_ops.make_state(tokens, word_id, wcount, cap)
+    ts = bpe_ops.train_init(state, max(target, 1))
+    ts = bpe_ops.train_loop(ts, jnp.int32(unk), jnp.int32(minf),
+                            target_merges=target, max_steps=target + 4)
+    n = int(ts.n_merges)
+    length = int(ts.corpus.length)
+    return (np.asarray(ts.merges)[:n], np.asarray(ts.merge_freqs)[:n],
+            np.asarray(ts.corpus.tokens)[:length],
+            np.asarray(ts.corpus.word_id)[:length])
+
+
+def _rand_corpus(seed, n_words=300, alpha=6, max_len=12):
+    rng = np.random.RandomState(seed)
+    lens = rng.randint(1, max_len + 1, n_words)
+    word_id = np.repeat(np.arange(n_words, dtype=np.int32), lens)
+    tokens = rng.randint(97, 97 + alpha, len(word_id)).astype(np.int32)
+    wcount = rng.randint(1, 60, n_words).astype(np.int32)[word_id]
+    return tokens, word_id, wcount
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_hist_engine_matches_flat(seed):
+    tokens, word_id, wcount = _rand_corpus(seed)
+    target, unk, minf = 40, -1, 2
+    out = bpe_hist.hist_train(
+        tokens, word_id, wcount[np.searchsorted(
+            word_id, np.arange(word_id[-1] + 1))],
+        target_merges=target, unk_id=unk, min_pair_freq=minf,
+        interpret=True)
+    assert out is not None
+    merges_h, freqs_h, ftok_h, fwid_h = out
+    merges_f, freqs_f, ftok_f, fwid_f = _flat_train(
+        tokens, word_id, wcount, target, unk, minf)
+    np.testing.assert_array_equal(merges_h, merges_f)
+    np.testing.assert_array_equal(freqs_h, freqs_f)
+    np.testing.assert_array_equal(ftok_h, ftok_f)
+    np.testing.assert_array_equal(fwid_h, fwid_f)
+
+
+def test_hist_engine_overlap_runs():
+    # 'aaaa'-style runs exercise the greedy overlap rule + deltas
+    words = [b"aaaa", b"aaa", b"aa", b"baab", b"aabb"]
+    counts = [7, 5, 3, 2, 9]
+    tokens = np.concatenate(
+        [np.frombuffer(w, np.uint8).astype(np.int32) for w in words])
+    word_id = np.repeat(np.arange(len(words), dtype=np.int32),
+                        [len(w) for w in words])
+    wc_word = np.asarray(counts, np.int32)
+    wcount = wc_word[word_id]
+    out = bpe_hist.hist_train(tokens, word_id, wc_word, target_merges=10,
+                              unk_id=-1, min_pair_freq=2, interpret=True)
+    merges_h, freqs_h, ftok_h, fwid_h = out
+    merges_f, freqs_f, ftok_f, fwid_f = _flat_train(
+        tokens, word_id, wcount, 10, -1, 2)
+    np.testing.assert_array_equal(merges_h, merges_f)
+    np.testing.assert_array_equal(freqs_h, freqs_f)
+    np.testing.assert_array_equal(ftok_h, ftok_f)
+
+
+def test_hist_engine_with_unk():
+    tokens, word_id, wcount = _rand_corpus(7, n_words=120, alpha=5)
+    # map one symbol to unk
+    unk = 99
+    wc_word = wcount[np.searchsorted(word_id, np.arange(word_id[-1] + 1))]
+    out = bpe_hist.hist_train(tokens, word_id, wc_word, target_merges=20,
+                              unk_id=unk, min_pair_freq=2, interpret=True)
+    merges_h, freqs_h, _, _ = out
+    merges_f, freqs_f, _, _ = _flat_train(
+        tokens, word_id, wcount, 20, unk, 2)
+    np.testing.assert_array_equal(merges_h, merges_f)
+    np.testing.assert_array_equal(freqs_h, freqs_f)
+    assert not ((merges_h == unk).any())
+
+
+def test_layout_fallback_for_long_words():
+    tokens = np.arange(100, dtype=np.int32) % 26 + 97
+    word_id = np.zeros(100, np.int32)  # one 100-byte word
+    out = bpe_hist.hist_train(tokens, word_id, np.ones(1, np.int32),
+                              target_merges=4, max_word_len=64,
+                              interpret=True)
+    assert out is None
