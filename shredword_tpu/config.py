@@ -35,6 +35,8 @@ class BPEConfig:
                                         # merge-loop engine (hist = fused
                                         # Pallas kernel + pair table;
                                         # flat = sort-based stream)
+    checkpoint_path: str | None = None  # mid-training checkpoint file
+    checkpoint_every: int = 0           # merges between checkpoints (0=off)
 
     def normalized(self) -> "BPEConfig":
         """Apply reference defaulting rules (bpe.cpp:124-130)."""

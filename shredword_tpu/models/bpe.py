@@ -157,10 +157,33 @@ class BPETrainer:
                     "hist engine requested but the corpus/vocab does not "
                     "fit its layout (word > 64 tokens or vocab > 2048)")
 
-        log.debug("hist engine unavailable for this corpus; using the "
-                  "flat-stream engine")
+        n_prev = len(self._merges)
+        if n_prev:
+            # checkpoint resume: replay the learned merges onto the fresh
+            # corpus with the native encoder (exact — same rank-order,
+            # left-to-right overlap semantics as training), then continue
+            # with re-counted pairs, mirroring the reference's
+            # bpe_init-after-merge resumability (bpe.cpp:171-185).
+            lengths = np.bincount(word_id, minlength=self._arrays.n_words)
+            offsets = np.zeros(len(lengths) + 1, np.int64)
+            np.cumsum(lengths, out=offsets[1:])
+            enc = native.NativeEncoder(self._merges)
+            tokens, out_off = enc.apply_merges(tokens, offsets)
+            enc.free()
+            word_id = np.repeat(
+                np.arange(self._arrays.n_words, dtype=np.int32),
+                np.diff(out_off))
+            counts = np.minimum(self._arrays.counts,
+                                np.iinfo(np.int32).max).astype(np.int32)
+            wcount = counts[word_id]
+            n = len(tokens)
+            log.info("Resumed from %d merges; replayed corpus has %d "
+                     "tokens", n_prev, n)
+
+        log.debug("using the flat-stream engine")
         state = bpe_ops.make_state(tokens, word_id, wcount, _bucket(n))
-        ts = bpe_ops.train_init(state, cfg.target_merges)
+        ts = bpe_ops.train_init(state, cfg.target_merges,
+                                n_prev_merges=n_prev)
 
         chunk = cfg.merges_per_device_call
         with log.Timer("train", nbytes=self._arrays.total_raw_bytes) as t:
@@ -175,6 +198,10 @@ class BPETrainer:
                 log.progress("Completed %d/%d merges (stream %d/%d)",
                              n_after, target, length,
                              ts.corpus.tokens.shape[0])
+                if cfg.checkpoint_path and cfg.checkpoint_every and \
+                        n_after // cfg.checkpoint_every \
+                        > n_before // cfg.checkpoint_every:
+                    self._write_checkpoint(ts, n_prev)
                 if done:
                     break
                 if n_after == n_before:
@@ -193,16 +220,55 @@ class BPETrainer:
                     ts = ts._replace(corpus=corpus)
 
         n_merges = int(ts.n_merges)
-        self._merges = np.asarray(ts.merges)[:n_merges].astype(np.int32)
-        self._merge_freqs = np.asarray(
-            ts.merge_freqs)[:n_merges].astype(np.int64)
+        new_merges = np.asarray(ts.merges)[n_prev:n_merges].astype(np.int32)
+        new_freqs = np.asarray(
+            ts.merge_freqs)[n_prev:n_merges].astype(np.int64)
+        self._merges = np.concatenate([self._merges[:n_prev], new_merges])
+        self._merge_freqs = np.concatenate(
+            [self._merge_freqs[:n_prev], new_freqs])
         length = int(ts.corpus.length)
         self._final_tokens = np.asarray(ts.corpus.tokens)[:length]
         self._final_word_id = np.asarray(ts.corpus.word_id)[:length]
         self._trained = True
         log.info("Training completed: %d merges performed. (%.2f s)",
-                 n_merges, t.elapsed)
-        return n_merges
+                 n_merges - n_prev, t.elapsed)
+        return n_merges - n_prev
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+
+    def _write_checkpoint(self, ts, n_prev: int) -> None:
+        from .. import checkpoint as ckpt
+        n = int(ts.n_merges)
+        merges = np.concatenate(
+            [self._merges[:n_prev],
+             np.asarray(ts.merges)[n_prev:n].astype(np.int32)])
+        freqs = np.concatenate(
+            [self._merge_freqs[:n_prev],
+             np.asarray(ts.merge_freqs)[n_prev:n].astype(np.int64)])
+        ckpt.save_checkpoint(self.config.checkpoint_path, merges=merges,
+                             merge_freqs=freqs, config=self.config)
+        log.debug("checkpoint: %d merges -> %s", n,
+                  self.config.checkpoint_path)
+
+    def save_checkpoint(self, path: str) -> None:
+        """Write a resumable checkpoint of the merges learned so far."""
+        from .. import checkpoint as ckpt
+        ckpt.save_checkpoint(path, merges=self._merges,
+                             merge_freqs=self._merge_freqs,
+                             config=self.config)
+
+    def load_checkpoint(self, path: str) -> int:
+        """Load a checkpoint; the next train() resumes after its merges
+        (corpus must be loaded; it is replayed on resume).  Returns the
+        number of merges restored."""
+        from .. import checkpoint as ckpt
+        _, merges, freqs = ckpt.load_checkpoint(path)
+        self._merges = merges.astype(np.int32)
+        self._merge_freqs = freqs.astype(np.int64)
+        self._trained = False
+        return len(merges)
 
     def _train_hist(self, tokens, word_id, target) -> int | None:
         """Histogram engine (ops/bpe_hist.py): fused Pallas merge kernel

@@ -182,6 +182,27 @@ int64_t shred_encode_words(void* encoder, const uint8_t* bytes,
   return (int64_t)ids.size();
 }
 
+// Apply the merge table to int32 token words (checkpoint replay).
+// tokens concatenated with offsets[n_words+1]; writes merged tokens and
+// per-word output offsets.  Returns total written, or -(needed).
+int64_t shred_apply_merges(void* encoder, const int32_t* tokens,
+                           const int64_t* offsets, int64_t n_words,
+                           int32_t* out_ids, int64_t out_cap,
+                           int64_t* out_offsets) {
+  auto* enc = static_cast<Encoder*>(encoder);
+  std::vector<int32_t> out;
+  out.reserve((size_t)offsets[n_words]);
+  for (int64_t w = 0; w < n_words; w++) {
+    out_offsets[w] = (int64_t)out.size();
+    enc->apply_to_tokens(tokens + offsets[w],
+                         (size_t)(offsets[w + 1] - offsets[w]), &out);
+  }
+  out_offsets[n_words] = (int64_t)out.size();
+  if ((int64_t)out.size() > out_cap) return -(int64_t)out.size();
+  std::memcpy(out_ids, out.data(), out.size() * sizeof(int32_t));
+  return (int64_t)out.size();
+}
+
 void shred_encoder_free(void* encoder) {
   delete static_cast<Encoder*>(encoder);
 }

@@ -85,6 +85,37 @@ void Encoder::encode_word(const uint8_t* bytes, size_t len,
   out->resize(start + n);
 }
 
+void Encoder::apply_to_tokens(const int32_t* ids_in, size_t len,
+                              std::vector<int32_t>* out) const {
+  // Same merge loop as encode_word but over an arbitrary int32 token
+  // sequence (e.g. unk-mapped training words for checkpoint replay).
+  size_t start = out->size();
+  out->insert(out->end(), ids_in, ids_in + len);
+  int32_t* ids = out->data() + start;
+  size_t n = len;
+  while (n >= 2) {
+    int32_t best = -1;
+    for (size_t i = 0; i + 1 < n; i++) {
+      int32_t r = rank_of(ids[i], ids[i + 1]);
+      if (r >= 0 && (best < 0 || r < best)) best = r;
+    }
+    if (best < 0) break;
+    int32_t a = pairs_[2 * best], b = pairs_[2 * best + 1];
+    int32_t new_id = 256 + best;
+    size_t w = 0, i = 0;
+    while (i < n) {
+      if (i + 1 < n && ids[i] == a && ids[i + 1] == b) {
+        ids[w++] = new_id;
+        i += 2;
+      } else {
+        ids[w++] = ids[i++];
+      }
+    }
+    n = w;
+  }
+  out->resize(start + n);
+}
+
 std::vector<int32_t> Encoder::encode_words(const uint8_t* bytes,
                                            const int64_t* offsets,
                                            int64_t n_words, bool cache) const {

@@ -176,6 +176,11 @@ class Encoder {
                                     const int64_t* offsets, int64_t n_words,
                                     bool cache) const;
 
+  // Apply the merge table to an int32 token sequence (checkpoint
+  // replay over unk-mapped training words).
+  void apply_to_tokens(const int32_t* ids_in, size_t len,
+                       std::vector<int32_t>* out) const;
+
   int64_t n_merges() const { return n_merges_; }
 
  private:

@@ -88,6 +88,10 @@ def _declare(L: ctypes.CDLL) -> None:
     L.shred_encode_words.restype = i64
     L.shred_encoder_free.argtypes = [p]
     L.shred_encoder_free.restype = None
+    L.shred_apply_merges.argtypes = [p, ctypes.c_void_p, ctypes.c_void_p,
+                                     i64, ctypes.c_void_p, i64,
+                                     ctypes.c_void_p]
+    L.shred_apply_merges.restype = i64
 
     L.shred_normalize.argtypes = [ctypes.c_char_p, i64, ctypes.c_void_p, i64]
     L.shred_normalize.restype = i64
@@ -289,6 +293,25 @@ class NativeEncoder:
                                          _ptr(offsets), n_words, int(cache),
                                          _ptr(out), -n)
         return out[:n].copy()
+
+    def apply_merges(self, tokens: np.ndarray, offsets: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Apply the merge table to int32 token words (checkpoint
+        replay).  Returns (merged flat tokens, output offsets)."""
+        tokens = np.ascontiguousarray(tokens, dtype=np.int32)
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        n_words = len(offsets) - 1
+        out_off = np.empty(n_words + 1, dtype=np.int64)
+        cap = max(len(tokens), 16)
+        out = np.empty(cap, dtype=np.int32)
+        n = lib().shred_apply_merges(self._h, _ptr(tokens), _ptr(offsets),
+                                     n_words, _ptr(out), cap, _ptr(out_off))
+        if n < 0:
+            out = np.empty(-n, dtype=np.int32)
+            n = lib().shred_apply_merges(self._h, _ptr(tokens),
+                                         _ptr(offsets), n_words, _ptr(out),
+                                         -n, _ptr(out_off))
+        return out[:n].copy(), out_off
 
     def free(self) -> None:
         if self._h:

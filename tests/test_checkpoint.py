@@ -1,0 +1,80 @@
+"""Checkpoint/resume: interrupted training must converge to exactly the
+same merge table as uninterrupted training (replay + re-count resume,
+mirroring the reference's bpe_init resumability, bpe.cpp:171-185)."""
+
+import numpy as np
+import pytest
+
+from shredword_tpu import checkpoint as ckpt
+from shredword_tpu.errors import SerializationError
+from shredword_tpu.models.bpe import BPETrainer
+
+
+@pytest.fixture(scope="module")
+def corpus(request):
+    return request.getfixturevalue("small_corpus_file")
+
+
+def _train_full(corpus, **kw):
+    t = BPETrainer(target_vocab_size=320, unk_id=-1, min_pair_freq=2,
+                   backend="tpu", **kw)
+    t.load_corpus(corpus)
+    t.train()
+    return t
+
+
+def test_resume_matches_uninterrupted(corpus, tmp_path):
+    full = _train_full(corpus)
+
+    part = BPETrainer(target_vocab_size=320, unk_id=-1, min_pair_freq=2,
+                      backend="tpu")
+    part.load_corpus(corpus)
+    n1 = part.train(max_merges=10)
+    assert n1 == 10
+    cp = str(tmp_path / "train.ckpt")
+    part.save_checkpoint(cp)
+    part.destroy()
+
+    resumed = BPETrainer(target_vocab_size=320, unk_id=-1, min_pair_freq=2,
+                         backend="tpu")
+    resumed.load_corpus(corpus)
+    assert resumed.load_checkpoint(cp) == 10
+    resumed.train()
+    np.testing.assert_array_equal(resumed.merges, full.merges)
+    np.testing.assert_array_equal(resumed.merge_freqs, full.merge_freqs)
+    # final corpus state identical too (token_frequencies uses it)
+    np.testing.assert_array_equal(resumed.token_frequencies(),
+                                  full.token_frequencies())
+
+
+def test_auto_checkpoint_written(corpus, tmp_path):
+    cp = str(tmp_path / "auto.ckpt")
+    t = BPETrainer(target_vocab_size=320, unk_id=-1, min_pair_freq=2,
+                   backend="tpu", engine="flat", merges_per_device_call=8,
+                   checkpoint_path=cp, checkpoint_every=8)
+    t.load_corpus(corpus)
+    n = t.train()
+    assert n > 8
+    cfg, merges, freqs = ckpt.load_checkpoint(cp)
+    assert len(merges) >= 8
+    np.testing.assert_array_equal(merges, t.merges[:len(merges)])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from shredword_tpu.config import BPEConfig
+    merges = np.array([[97, 98], [256, 99]], np.int32)
+    freqs = np.array([41, 17], np.int64)
+    p = str(tmp_path / "c.ckpt")
+    ckpt.save_checkpoint(p, merges=merges, merge_freqs=freqs,
+                         config=BPEConfig())
+    cfg, m2, f2 = ckpt.load_checkpoint(p)
+    np.testing.assert_array_equal(m2, merges)
+    np.testing.assert_array_equal(f2, freqs)
+    assert cfg["target_vocab_size"] == 8192
+
+
+def test_checkpoint_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.ckpt"
+    p.write_bytes(b"\x10\x00\x00\x00\x00\x00\x00\x00not json hereXXXX")
+    with pytest.raises(SerializationError):
+        ckpt.load_checkpoint(str(p))
