@@ -49,6 +49,30 @@ def test_sharded_matches_single_device(zipf_corpus_file, n_shards):
     np.testing.assert_array_equal(freqs, t.merge_freqs.astype(np.int32))
 
 
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_hist_matches_single_device(zipf_corpus_file, n_shards):
+    from shredword_tpu import parallel
+    from shredword_tpu.models.bpe import BPETrainer
+
+    t = BPETrainer(target_vocab_size=330, unk_id=-1,
+                   character_coverage=0.9995, min_pair_freq=5,
+                   backend="tpu")
+    t.load_corpus(zipf_corpus_file)
+    n = t.train()
+
+    tokens, word_id, wcount = _flat_arrays(zipf_corpus_file, 0.9995, -1)
+    wc_word = wcount[np.searchsorted(word_id, np.arange(word_id[-1] + 1))]
+    mesh = parallel.make_mesh(n_shards)
+    out = parallel.sharded_hist_train(
+        tokens, word_id, wc_word, mesh=mesh, target_merges=330 - 256,
+        unk_id=-1, min_pair_freq=5, interpret=True)
+    assert out is not None
+    merges, freqs = out
+    assert len(merges) == n
+    np.testing.assert_array_equal(merges, t.merges)
+    np.testing.assert_array_equal(freqs, t.merge_freqs.astype(np.int32))
+
+
 def test_shard_corpus_word_boundaries():
     from shredword_tpu.parallel import shard_corpus
     rng = np.random.RandomState(0)
