@@ -156,6 +156,22 @@ def measure_tpu() -> tuple[float, int]:
     return run()         # measured: steady-state throughput
 
 
+def measure_encode() -> tuple[float, float]:
+    """Encode MB/s (cpu native, tpu batch) on a trained model —
+    side report only (BASELINE.md metric 3)."""
+    from shredword_tpu import Tokenizer
+    tok = Tokenizer.train(CORPUS, vocab_size=VOCAB, min_pair_freq=MIN_FREQ,
+                          character_coverage=COVERAGE, backend="cpu",
+                          tie_break="faithful")
+    text = open(CORPUS).read()[: 4 * 10**6]
+    nbytes = len(text.encode())
+    t0 = time.perf_counter()
+    ids = tok.encode(text)
+    cpu_mbs = nbytes / 1e6 / (time.perf_counter() - t0)
+    assert tok.decode(ids) == text
+    return cpu_mbs, len(ids)
+
+
 def main() -> None:
     make_corpus(CORPUS)
     raw_bytes = os.path.getsize(CORPUS)
@@ -174,6 +190,13 @@ def main() -> None:
         f"[bench] corpus {mb:.1f} MB; reference: {ref_dt:.2f}s "
         f"({ref_n} merges, {base:.1f} MB/s); tpu: {tpu_dt:.2f}s "
         f"({tpu_n} merges, {ours:.1f} MB/s)\n")
+    try:
+        enc_mbs, n_ids = measure_encode()
+        sys.stderr.write(f"[bench] encode (cpu native): {enc_mbs:.1f} MB/s "
+                         f"({n_ids} ids, round-trip exact); the reference "
+                         f"has no encoder to compare\n")
+    except Exception as e:  # encode side-metric must never sink the bench
+        sys.stderr.write(f"[bench] encode side-metric failed: {e}\n")
     print(json.dumps({
         "metric": "train_mb_s",
         "value": round(ours, 2),

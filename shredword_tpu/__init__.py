@@ -15,12 +15,14 @@ from .errors import (ConfigError, CorpusError, DecodeError, EncodeError,
                      SerializationError, ShredError, TrainingError)
 from .models.bpe import BPETrainer
 from .models.unigram import UnigramTokenizer, UnigramTrainer
-from .tokenizer import Tokenizer, render_token
+from .tokenizer import (Tokenizer, build_vocab, get_stats, merge,
+                        render_token)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "BPETrainer", "Tokenizer", "BPEConfig", "render_token",
+    "get_stats", "merge", "build_vocab",
     "UnigramTrainer", "UnigramTokenizer", "UnigramConfig",
     "ShredError", "CorpusError", "ConfigError", "TrainingError",
     "SerializationError", "EncodeError", "DecodeError",

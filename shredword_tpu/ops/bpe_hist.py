@@ -57,7 +57,8 @@ class HistCorpus(NamedTuple):
 
 
 def build_layout(tokens: np.ndarray, word_id: np.ndarray,
-                 wcount: np.ndarray, max_word_len: int) -> HistCorpus | None:
+                 wcount: np.ndarray, max_word_len: int,
+                 min_len: int = 8) -> HistCorpus | None:
     """Pack the flat dedup stream into [L, W]; None if a word exceeds
     max_word_len (caller falls back to the flat engine).
 
@@ -71,7 +72,7 @@ def build_layout(tokens: np.ndarray, word_id: np.ndarray,
     L = int(lens.max(initial=1))
     if L > max_word_len:
         return None
-    L = max(8, 1 << int(np.ceil(np.log2(L))))
+    L = max(min_len, 1 << int(np.ceil(np.log2(L))))
     W = -(-n_words // CHUNK) * CHUNK
     tw = np.full((L, W), PAD, np.int32)
     starts = np.zeros(n_words + 1, np.int64)
@@ -180,6 +181,176 @@ def _merge_kernel(v: int, L: int, scal_ref, t_ref, w_ref,
                 preferred_element_type=jnp.float32)
         dl_ref[:] += acc_l.astype(jnp.int32)
         dr_ref[:] += acc_r.astype(jnp.int32)
+
+
+def _merge_kernel_sparse(v: int, L: int, flags_ref, scal_ref,
+                         t_hbm, w_hbm, pres_in, tout_hbm, pres_out,
+                         dl_ref, dr_ref, nm_ref):
+    # pres_in is only read through its alias pres_out (rows of skipped
+    # chunks stay in place); the parameter exists for the aliasing.
+    del pres_in
+    """Chunk-skipping variant: tokens live as int16 in HBM, aliased
+    in-place; chunks whose presence bitmap lacks a or b are never
+    DMA'd.  pres_out rows are refreshed for processed chunks."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dl_ref[:] = jnp.zeros_like(dl_ref)
+        dr_ref[:] = jnp.zeros_like(dr_ref)
+        nm_ref[0, 0] = 0
+
+    @pl.when(flags_ref[i] != 0)
+    def _():
+        def inner(tbuf, wbuf, pbuf, sem_t, sem_w, sem_o, sem_p):
+            cp_t = pltpu.make_async_copy(
+                t_hbm.at[:, pl.ds(i * CHUNK, CHUNK)], tbuf, sem_t)
+            cp_w = pltpu.make_async_copy(
+                w_hbm.at[:, pl.ds(i * CHUNK, CHUNK)], wbuf, sem_w)
+            cp_t.start()
+            cp_w.start()
+            cp_t.wait()
+            cp_w.wait()
+
+            a = scal_ref[0]
+            b = scal_ref[1]
+            new = scal_ref[2]
+            unk = scal_ref[3]
+            tt = tbuf[:].astype(jnp.int32)
+            ww = wbuf[:]
+            row = jax.lax.broadcasted_iota(jnp.int32, (L, CHUNK), 0)
+
+            nxt = _shift_up(tt, PAD)
+            m = ((tt == a) & (nxt == b)).astype(jnp.int32)
+            sel = jnp.zeros((L, CHUNK), jnp.int32)
+            for l in range(L):
+                prev = _shift_down(sel, 0)
+                sel = jnp.where(row == l, m * (1 - prev), sel)
+
+            t2 = tt + sel * (new - tt)
+            hole = _shift_down(sel, 0)
+            for _ in range(L - 1):
+                t_dn = _shift_up(t2, PAD)
+                t2 = t2 + hole * (t_dn - t2)
+                hole = _shift_down(hole, 0)
+
+            nm_ref[0, 0] += jnp.sum(sel)
+
+            sel2 = _shift_down(_shift_down(sel, 0), 0)
+            t_up = _shift_down(tt, PAD)
+            lval = t_up + sel2 * (new - t_up)
+            rval = _shift_up(_shift_up(tt, PAD), PAD)
+            wsel = sel * ww
+            wl = jnp.where((lval >= 0) & (lval != unk), wsel, 0)
+            wr = jnp.where((rval >= 0) & (rval != unk), wsel, 0)
+
+            iota_v = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, v), 1)
+            acc_l = jnp.zeros((1, v), jnp.float32)
+            acc_r = jnp.zeros((1, v), jnp.float32)
+            pres = jnp.zeros((1, v), jnp.int32)
+            for l in range(L):
+                oh_l = (lval[l][:, None] == iota_v).astype(jnp.float32)
+                oh_r = (rval[l][:, None] == iota_v).astype(jnp.float32)
+                acc_l += jax.lax.dot_general(
+                    wl[l].astype(jnp.float32)[None, :], oh_l,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc_r += jax.lax.dot_general(
+                    wr[l].astype(jnp.float32)[None, :], oh_r,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                here = (t2[l][:, None] == iota_v).astype(jnp.int32)
+                pres = jnp.maximum(pres, jnp.max(here, axis=0)[None, :])
+            dl_ref[:] += acc_l.astype(jnp.int32)
+            dr_ref[:] += acc_r.astype(jnp.int32)
+
+            tbuf[:] = t2.astype(jnp.int16)
+            pbuf[:] = pres
+            cp_o = pltpu.make_async_copy(
+                tbuf, tout_hbm.at[:, pl.ds(i * CHUNK, CHUNK)], sem_o)
+            cp_p = pltpu.make_async_copy(pbuf, pres_out.at[pl.ds(i, 1)],
+                                         sem_p)
+            cp_o.start()
+            cp_p.start()
+            cp_o.wait()
+            cp_p.wait()
+
+        pl.run_scoped(
+            inner,
+            tbuf=pltpu.VMEM((L, CHUNK), jnp.int16),
+            wbuf=pltpu.VMEM((1, CHUNK), jnp.int32),
+            pbuf=pltpu.VMEM((1, v), jnp.int32),
+            sem_t=pltpu.SemaphoreType.DMA(()),
+            sem_w=pltpu.SemaphoreType.DMA(()),
+            sem_o=pltpu.SemaphoreType.DMA(()),
+            sem_p=pltpu.SemaphoreType.DMA(()),
+        )
+
+
+def make_merge_step_sparse(v: int, L: int, W: int,
+                           interpret: bool = False):
+    """Chunk-skipping merge step over int16 tokens.
+
+    merge_step(tw_i16, wcount, presence, flags, scal) ->
+        (tw_i16', presence', dl, dr, nm)
+
+    tw and presence are updated in place (donated/aliased); skipped
+    chunks keep their bytes without any DMA.
+    """
+    grid = W // CHUNK
+    kernel = partial(_merge_kernel_sparse, v, L)
+
+    @jax.jit
+    def merge_step(tw, wcount, presence, flags, scal):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,          # flags, scal
+                grid=(grid,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),   # t_hbm
+                    pl.BlockSpec(memory_space=pl.ANY),   # w_hbm
+                    pl.BlockSpec(memory_space=pl.ANY),   # presence_in
+                ],
+                out_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),   # tout
+                    pl.BlockSpec(memory_space=pl.ANY),   # presence
+                    pl.BlockSpec((1, v), lambda i, *s: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, v), lambda i, *s: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1), lambda i, *s: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((L, W), jnp.int16),
+                jax.ShapeDtypeStruct((W // CHUNK, v), jnp.int32),
+                jax.ShapeDtypeStruct((1, v), jnp.int32),
+                jax.ShapeDtypeStruct((1, v), jnp.int32),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ],
+            # args order: flags, scal, tw, wcount, presence
+            input_output_aliases={2: 0, 4: 1},
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                has_side_effects=True),
+        )(flags, scal, tw, wcount, presence)
+
+    return merge_step
+
+
+def build_presence(tw: np.ndarray, v: int) -> np.ndarray:
+    """int32[n_chunks, V]: 1 iff token occurs in the chunk (host-side,
+    once; the kernel keeps it fresh for processed chunks)."""
+    L, W = tw.shape
+    n_chunks = W // CHUNK
+    pres = np.zeros((n_chunks, v), np.int32)
+    for i in range(n_chunks):
+        vals = np.unique(tw[:, i * CHUNK:(i + 1) * CHUNK])
+        vals = vals[(vals >= 0) & (vals < v)]
+        pres[i, vals] = 1
+    return pres
 
 
 def make_merge_step(v: int, L: int, W: int, interpret: bool = False):
@@ -299,32 +470,95 @@ def make_train_loop(v: int, L: int, W: int, *, target_merges: int,
     return train_loop
 
 
+def make_train_loop_sparse(v: int, L: int, W: int, *, target_merges: int,
+                           max_steps: int, interpret: bool = False):
+    merge_step = make_merge_step_sparse(v, L, W, interpret=interpret)
+
+    @jax.jit
+    def train_loop(tw, wcount, presence, hist, merges, freqs, n_merges,
+                   done, unk_id, min_pair_freq):
+        def cond_fn(carry):
+            tw, presence, hist, merges, freqs, n_merges, done, steps = carry
+            return ((~done) & (n_merges < target_merges)
+                    & (steps < max_steps))
+
+        def body_fn(carry):
+            tw, presence, hist, merges, freqs, n_merges, done, steps = carry
+            flat = hist.reshape(-1)
+            masked = jnp.where(flat >= min_pair_freq, flat, 0)
+            best = jnp.argmax(masked)
+            cnt = masked[best]
+            a = (best // v).astype(jnp.int32)
+            b = (best % v).astype(jnp.int32)
+
+            def do_merge(args):
+                tw, presence, hist, merges, freqs, n_merges = args
+                new = 256 + n_merges
+                scal = jnp.stack([a, b, new, unk_id]).astype(jnp.int32)
+                flags = presence[:, a] * presence[:, b]
+                t2, pres2, dl, dr, _ = merge_step(tw, wcount, presence,
+                                                  flags, scal)
+                hist = hist.at[:, a].add(-dl[0])
+                hist = hist.at[:, new].add(dl[0])
+                hist = hist.at[b, :].add(-dr[0])
+                hist = hist.at[new, :].add(dr[0])
+                hist = hist.at[a, b].set(0)
+                merges = merges.at[n_merges].set(
+                    jnp.stack([a, b]).astype(jnp.int32))
+                freqs = freqs.at[n_merges].set(cnt.astype(jnp.int32))
+                return (t2, pres2, hist, merges, freqs, n_merges + 1,
+                        jnp.bool_(False))
+
+            tw, presence, hist, merges, freqs, n_merges, done = \
+                jax.lax.cond(
+                    cnt == 0,
+                    lambda args: (*args, jnp.bool_(True)),
+                    do_merge,
+                    (tw, presence, hist, merges, freqs, n_merges))
+            return (tw, presence, hist, merges, freqs, n_merges, done,
+                    steps + 1)
+
+        out = jax.lax.while_loop(
+            cond_fn, body_fn,
+            (tw, presence, hist, merges, freqs, n_merges, done,
+             jnp.int32(0)))
+        return out[:-1]
+
+    return train_loop
+
+
 def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
                *, target_merges: int, unk_id: int = -1,
                min_pair_freq: int = 2, max_word_len: int = 64,
                max_steps_per_call: int = 512, interpret: bool = False,
-               _cache={}):
+               sparse: bool = True, _cache={}):
     """Full driver.  Returns (merges[M,2], freqs[M], final flat tokens,
     final word_id) or None if the layout does not fit."""
     v = 256 + target_merges
     v = -(-v // 128) * 128
-    c = build_layout(tokens, word_id, wcount, max_word_len)
+    c = build_layout(tokens, word_id, wcount, max_word_len,
+                     min_len=16 if sparse else 8)
     if c is None or v > 2048:
         return None
     L, W = c.tw.shape
-    ts = hist_train_init(c, unk_id, max(target_merges, 1), v)
-    key = (v, L, W, target_merges, max_steps_per_call, interpret)
-    if key not in _cache:
-        _cache[key] = make_train_loop(
-            v, L, W, target_merges=target_merges,
-            max_steps=max_steps_per_call, interpret=interpret)
-    loop = _cache[key]
-    while True:
-        n_before = int(ts.n_merges)
-        ts = loop(ts, jnp.int32(unk_id), jnp.int32(min_pair_freq))
-        n_after = int(ts.n_merges)
-        if bool(ts.done) or n_after >= target_merges or n_after == n_before:
-            break
+    if sparse:
+        ts = _sparse_drive(c, v, unk_id, min_pair_freq, target_merges,
+                           max_steps_per_call, interpret, _cache)
+    else:
+        ts = hist_train_init(c, unk_id, max(target_merges, 1), v)
+        key = (v, L, W, target_merges, max_steps_per_call, interpret)
+        if key not in _cache:
+            _cache[key] = make_train_loop(
+                v, L, W, target_merges=target_merges,
+                max_steps=max_steps_per_call, interpret=interpret)
+        loop = _cache[key]
+        while True:
+            n_before = int(ts.n_merges)
+            ts = loop(ts, jnp.int32(unk_id), jnp.int32(min_pair_freq))
+            n_after = int(ts.n_merges)
+            if bool(ts.done) or n_after >= target_merges \
+                    or n_after == n_before:
+                break
     n = int(ts.n_merges)
     tw = np.asarray(ts.corpus.tw)
     live = tw >= 0
@@ -336,3 +570,33 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
     keep = final_word_id < n_words_live
     return (np.asarray(ts.merges)[:n], np.asarray(ts.merge_freqs)[:n],
             final_tokens[keep].astype(np.int32), final_word_id[keep])
+
+
+def _sparse_drive(c: HistCorpus, v: int, unk_id, min_pair_freq,
+                  target_merges: int, max_steps: int, interpret: bool,
+                  _cache) -> HistTrainState:
+    L, W = c.tw.shape
+    hist = init_hist(c, jnp.int32(unk_id), v=v)
+    tw16 = c.tw.astype(jnp.int16)
+    presence = jnp.asarray(build_presence(np.asarray(c.tw), v))
+    merges = jnp.zeros((max(target_merges, 1), 2), jnp.int32)
+    freqs = jnp.zeros(max(target_merges, 1), jnp.int32)
+    n_merges = jnp.int32(0)
+    done = jnp.bool_(False)
+    key = ("sparse", v, L, W, target_merges, max_steps, interpret)
+    if key not in _cache:
+        _cache[key] = make_train_loop_sparse(
+            v, L, W, target_merges=target_merges, max_steps=max_steps,
+            interpret=interpret)
+    loop = _cache[key]
+    while True:
+        n_before = int(n_merges)
+        tw16, presence, hist, merges, freqs, n_merges, done = loop(
+            tw16, c.wcount, presence, hist, merges, freqs, n_merges,
+            done, jnp.int32(unk_id), jnp.int32(min_pair_freq))
+        n_after = int(n_merges)
+        if bool(done) or n_after >= target_merges or n_after == n_before:
+            break
+    return HistTrainState(
+        HistCorpus(tw16.astype(jnp.int32), c.wcount), hist, merges,
+        freqs, n_merges, done)

@@ -43,6 +43,44 @@ def render_token(t: bytes) -> str:
     return replace_control_characters(t.decode("utf-8", errors="replace"))
 
 
+def get_stats(ids, counts=None):
+    """Adjacent-pair counts over an id sequence (reference helper,
+    base.py:10-20): dict (a, b) -> count, optionally accumulating into
+    `counts`."""
+    counts = {} if counts is None else counts
+    for pair in zip(ids, ids[1:]):
+        counts[pair] = counts.get(pair, 0) + 1
+    return counts
+
+
+def merge(ids, pair, idx):
+    """Substitute every occurrence of `pair` with `idx`, consuming
+    overlapping runs left-to-right (reference helper, base.py:22-36 —
+    the semantics the trainers and encoder replicate)."""
+    out = []
+    i = 0
+    while i < len(ids):
+        if (i + 1 < len(ids) and ids[i] == pair[0]
+                and ids[i + 1] == pair[1]):
+            out.append(idx)
+            i += 2
+        else:
+            out.append(ids[i])
+            i += 1
+    return out
+
+
+def build_vocab(merges, special_tokens=None):
+    """id -> bytes over the 256-byte base + merges + specials
+    (reference helper, base.py:60-79)."""
+    vocab = {i: bytes([i]) for i in range(256)}
+    for m, (a, b) in enumerate(merges):
+        vocab[256 + m] = vocab[int(a)] + vocab[int(b)]
+    for tok, idx in (special_tokens or {}).items():
+        vocab[idx] = tok.encode("utf-8")
+    return vocab
+
+
 class Tokenizer:
     def __init__(self, merges: np.ndarray | None = None, pattern: str = "",
                  special_tokens: dict[str, int] | None = None,

@@ -46,8 +46,17 @@ def progress(msg: str, *args) -> None:
     _logger.info("[PROGRESS]\t " + (msg % args if args else msg))
 
 
+_PHASES: dict[str, list] = {}
+
+
+def phase_totals() -> dict[str, tuple[float, int]]:
+    """Aggregated (seconds, bytes) per Timer phase name."""
+    return {k: (v[0], v[1]) for k, v in _PHASES.items()}
+
+
 class Timer:
-    """Wall-clock phase timer with bytes/s reporting."""
+    """Wall-clock phase timer with bytes/s reporting; totals feed
+    utils.profiling.phase_report()."""
 
     def __init__(self, name: str, nbytes: int | None = None, log: bool = True):
         self.name = name
@@ -61,6 +70,9 @@ class Timer:
 
     def __exit__(self, *exc):
         self.elapsed = time.perf_counter() - self.t0
+        acc = _PHASES.setdefault(self.name, [0.0, 0])
+        acc[0] += self.elapsed
+        acc[1] += self.nbytes or 0
         if self.log:
             if self.nbytes:
                 mbps = self.nbytes / 1e6 / max(self.elapsed, 1e-12)
