@@ -265,11 +265,12 @@ def _merge_kernel_sparse(v: int, L: int, flags_ref, scal_ref,
             dr_ref[:] += acc_r.astype(jnp.int32)
 
             tbuf[:] = t2.astype(jnp.int16)
-            pbuf[:] = pres
+            # presence rows are stored 8-deep: HBM slices must align to
+            # the (8, 128) int32 tiling, so a [1, V] row DMA is illegal
+            pbuf[:] = jnp.broadcast_to(pres, (8, v))
             cp_o = pltpu.make_async_copy(
                 tbuf, tout_hbm.at[:, pl.ds(i * CHUNK, CHUNK)], sem_o)
-            cp_p = pltpu.make_async_copy(pbuf, pres_out.at[pl.ds(i, 1)],
-                                         sem_p)
+            cp_p = pltpu.make_async_copy(pbuf, pres_out.at[i], sem_p)
             cp_o.start()
             cp_p.start()
             cp_o.wait()
@@ -279,7 +280,7 @@ def _merge_kernel_sparse(v: int, L: int, flags_ref, scal_ref,
             inner,
             tbuf=pltpu.VMEM((L, CHUNK), jnp.int16),
             wbuf=pltpu.VMEM((1, CHUNK), jnp.int32),
-            pbuf=pltpu.VMEM((1, v), jnp.int32),
+            pbuf=pltpu.VMEM((8, v), jnp.int32),
             sem_t=pltpu.SemaphoreType.DMA(()),
             sem_w=pltpu.SemaphoreType.DMA(()),
             sem_o=pltpu.SemaphoreType.DMA(()),
@@ -325,7 +326,7 @@ def make_merge_step_sparse(v: int, L: int, W: int,
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((L, W), jnp.int16),
-                jax.ShapeDtypeStruct((W // CHUNK, v), jnp.int32),
+                jax.ShapeDtypeStruct((W // CHUNK, 8, v), jnp.int32),
                 jax.ShapeDtypeStruct((1, v), jnp.int32),
                 jax.ShapeDtypeStruct((1, v), jnp.int32),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
@@ -341,15 +342,17 @@ def make_merge_step_sparse(v: int, L: int, W: int,
 
 
 def build_presence(tw: np.ndarray, v: int) -> np.ndarray:
-    """int32[n_chunks, V]: 1 iff token occurs in the chunk (host-side,
-    once; the kernel keeps it fresh for processed chunks)."""
+    """int32[n_chunks, 8, V]: 1 iff token occurs in the chunk (host-side,
+    once; the kernel keeps it fresh for processed chunks).  Rows are
+    stored 8-deep so per-chunk DMA slices satisfy the (8, 128) int32
+    tiling; all 8 rows carry the same bitmap."""
     L, W = tw.shape
     n_chunks = W // CHUNK
-    pres = np.zeros((n_chunks, v), np.int32)
+    pres = np.zeros((n_chunks, 8, v), np.int32)
     for i in range(n_chunks):
         vals = np.unique(tw[:, i * CHUNK:(i + 1) * CHUNK])
         vals = vals[(vals >= 0) & (vals < v)]
-        pres[i, vals] = 1
+        pres[i, :, vals] = 1
     return pres
 
 
@@ -495,7 +498,7 @@ def make_train_loop_sparse(v: int, L: int, W: int, *, target_merges: int,
                 tw, presence, hist, merges, freqs, n_merges = args
                 new = 256 + n_merges
                 scal = jnp.stack([a, b, new, unk_id]).astype(jnp.int32)
-                flags = presence[:, a] * presence[:, b]
+                flags = presence[:, 0, a] * presence[:, 0, b]
                 t2, pres2, dl, dr, _ = merge_step(tw, wcount, presence,
                                                   flags, scal)
                 hist = hist.at[:, a].add(-dl[0])
