@@ -31,6 +31,14 @@ CXXFLAGS = [
     "-Wall",
 ]
 
+# SHRED_SANITIZE=address|thread|undefined builds the runtime under the
+# matching sanitizer (the loader is threaded; the reference had no
+# sanitizer config at all, SURVEY.md §5).  The hash keys the flags, so
+# sanitized and plain builds coexist.
+_SAN = os.environ.get("SHRED_SANITIZE", "")
+if _SAN:
+    CXXFLAGS += [f"-fsanitize={_SAN}", "-fno-omit-frame-pointer", "-g"]
+
 
 def _source_hash() -> str:
     h = hashlib.sha256()
