@@ -46,7 +46,8 @@ def shard_layout(tokens: np.ndarray, word_id: np.ndarray,
                  max_word_len: int = 64):
     """Build the [L, W] layout with W a multiple of n_shards * CHUNK
     (pad columns carry weight 0)."""
-    c = bpe_hist.build_layout(tokens, word_id, wcount, max_word_len)
+    c = bpe_hist.build_layout(tokens, word_id, wcount, max_word_len,
+                              min_len=16)  # int16 tile floor
     if c is None:
         return None
     L, W = c.tw.shape
@@ -144,7 +145,7 @@ def sharded_hist_train(tokens: np.ndarray, word_id: np.ndarray,
     L, W = c.tw.shape
     hist = bpe_hist.init_hist(c, jnp.int32(unk_id), v=v)
     st = ShardedHistState(
-        tw=c.tw, wcount=c.wcount, hist=hist,
+        tw=c.tw.astype(jnp.int16), wcount=c.wcount, hist=hist,
         merges=jnp.zeros((max(target_merges, 1), 2), jnp.int32),
         merge_freqs=jnp.zeros(max(target_merges, 1), jnp.int32),
         n_merges=jnp.int32(0), done=jnp.bool_(False))

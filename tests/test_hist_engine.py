@@ -71,6 +71,23 @@ def test_hist_engine_overlap_runs():
     np.testing.assert_array_equal(ftok_h, ftok_f)
 
 
+@pytest.mark.parametrize("seed", [0, 5])
+def test_sparse_kernel_matches_dense(seed):
+    """The chunk-skipping manual-DMA kernel must produce the dense
+    pipeline's exact merge sequence."""
+    tokens, word_id, wcount = _rand_corpus(seed, n_words=250)
+    wc_word = wcount[np.searchsorted(word_id, np.arange(word_id[-1] + 1))]
+    dense = bpe_hist.hist_train(tokens, word_id, wc_word,
+                                target_merges=30, interpret=True,
+                                sparse=False)
+    sparse = bpe_hist.hist_train(tokens, word_id, wc_word,
+                                 target_merges=30, interpret=True,
+                                 sparse=True)
+    np.testing.assert_array_equal(dense[0], sparse[0])
+    np.testing.assert_array_equal(dense[1], sparse[1])
+    np.testing.assert_array_equal(dense[2], sparse[2])
+
+
 def test_hist_engine_with_unk():
     tokens, word_id, wcount = _rand_corpus(7, n_words=120, alpha=5)
     # map one symbol to unk
