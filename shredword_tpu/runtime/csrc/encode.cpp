@@ -140,4 +140,40 @@ std::vector<int32_t> Encoder::encode_words(const uint8_t* bytes,
   return out;
 }
 
+std::vector<int32_t> Encoder::encode_text(const uint8_t* data,
+                                          int64_t len, bool cache) const {
+  // Whole-text encode with the lossless whitespace chunking of
+  // pretokenize.whitespace_keep_split: alternating word / whitespace
+  // runs, every chunk pushed through the merge loop (whitespace chunks
+  // simply have no applicable merges for whitespace-free models).
+  auto is_ws = [](uint8_t c) {
+    return c == ' ' || c == '\t' || c == '\r' || c == '\n';
+  };
+  std::vector<int32_t> out;
+  out.reserve((size_t)len / 3 + 16);
+  std::unordered_map<std::string, std::vector<int32_t>> memo;
+  int64_t i = 0;
+  std::string key;
+  while (i < len) {
+    int64_t j = i;
+    bool ws = is_ws(data[i]);
+    while (j < len && is_ws(data[j]) == ws) j++;
+    size_t chunk_len = (size_t)(j - i);
+    if (cache) {
+      key.assign((const char*)data + i, chunk_len);
+      auto it = memo.find(key);
+      if (it == memo.end()) {
+        std::vector<int32_t> ids;
+        encode_word(data + i, chunk_len, &ids);
+        it = memo.emplace(std::move(key), std::move(ids)).first;
+      }
+      out.insert(out.end(), it->second.begin(), it->second.end());
+    } else {
+      encode_word(data + i, chunk_len, &out);
+    }
+    i = j;
+  }
+  return out;
+}
+
 }  // namespace shred

@@ -181,6 +181,11 @@ class Encoder {
   void apply_to_tokens(const int32_t* ids_in, size_t len,
                        std::vector<int32_t>* out) const;
 
+  // Whole-text encode: lossless whitespace chunking + memoized word
+  // encode in one native pass.
+  std::vector<int32_t> encode_text(const uint8_t* data, int64_t len,
+                                   bool cache) const;
+
   int64_t n_merges() const { return n_merges_; }
 
  private:

@@ -92,6 +92,9 @@ def _declare(L: ctypes.CDLL) -> None:
                                      i64, ctypes.c_void_p, i64,
                                      ctypes.c_void_p]
     L.shred_apply_merges.restype = i64
+    L.shred_encode_text.argtypes = [p, ctypes.c_char_p, i64, ctypes.c_int,
+                                    ctypes.c_void_p, i64]
+    L.shred_encode_text.restype = i64
 
     L.shred_normalize.argtypes = [ctypes.c_char_p, i64, ctypes.c_void_p, i64]
     L.shred_normalize.restype = i64
@@ -292,6 +295,19 @@ class NativeEncoder:
             n = lib().shred_encode_words(self._h, _ptr(word_bytes),
                                          _ptr(offsets), n_words, int(cache),
                                          _ptr(out), -n)
+        return out[:n].copy()
+
+    def encode_text(self, data: bytes, cache: bool = True) -> np.ndarray:
+        """Whole-text encode: native lossless whitespace chunking +
+        memoized word encode (one pass, no Python per-chunk work)."""
+        cap = max(len(data), 16)
+        out = np.empty(cap, dtype=np.int32)
+        n = lib().shred_encode_text(self._h, data, len(data), int(cache),
+                                    _ptr(out), cap)
+        if n < 0:
+            out = np.empty(-n, dtype=np.int32)
+            n = lib().shred_encode_text(self._h, data, len(data),
+                                        int(cache), _ptr(out), -n)
         return out[:n].copy()
 
     def apply_merges(self, tokens: np.ndarray, offsets: np.ndarray

@@ -152,6 +152,15 @@ class Tokenizer:
 
     def encode_ordinary(self, text: str) -> list[int]:
         """Encode ignoring special tokens."""
+        if not text:
+            return []
+        if not self.pattern and self.backend == "cpu":
+            # fast path: whole-text native encode (the whitespace-keep
+            # chunking runs inside the C++ pass — no per-chunk Python)
+            from .runtime.native import NativeEncoder
+            if self._native is None:
+                self._native = NativeEncoder(self.merges)
+            return self._native.encode_text(text.encode("utf-8")).tolist()
         chunks = self._chunks(text)
         if not chunks:
             return []
