@@ -32,6 +32,12 @@ def _add_train(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--tie-break", choices=("lex", "faithful"),
                    default="lex")
     p.add_argument("--max-merges", type=int, default=None)
+    p.add_argument("--checkpoint-path", default=None,
+                   help="write a resumable checkpoint here during training")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="merges between checkpoints")
+    p.add_argument("--resume", default=None,
+                   help="resume from this checkpoint file")
 
 
 def _add_io(p: argparse.ArgumentParser) -> None:
@@ -97,8 +103,13 @@ def main(argv: list[str] | None = None) -> int:
                        unk_id=args.unk_id,
                        character_coverage=args.coverage,
                        min_pair_freq=args.min_pair_freq,
-                       backend=args.backend, tie_break=args.tie_break)
+                       backend=args.backend, tie_break=args.tie_break,
+                       checkpoint_path=args.checkpoint_path,
+                       checkpoint_every=args.checkpoint_every)
         t.load_corpus(args.corpus)
+        if args.resume:
+            n0 = t.load_checkpoint(args.resume)
+            print(f"resuming after {n0} merges from {args.resume}")
         n = t.train(args.max_merges)
         vocab = args.vocab or (args.model.rsplit(".", 1)[0] + ".vocab")
         t.save(args.model, vocab)

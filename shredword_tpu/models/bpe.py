@@ -63,7 +63,11 @@ class BPETrainer:
     # ------------------------------------------------------------------
 
     def load_corpus(self, path: str) -> None:
-        faithful = self.config.tie_break == "faithful"
+        # The cpu backend runs the faithful engine, whose tie-breaks are
+        # corpus-order artifacts; keep the reference word order so its
+        # output is reference-identical regardless of tie_break.
+        faithful = (self.config.tie_break == "faithful"
+                    or self.config.backend == "cpu")
         with log.Timer("load_corpus") as t:
             self._corpus = native.NativeCorpus.from_file(
                 path, faithful_order=faithful)
@@ -75,7 +79,8 @@ class BPETrainer:
                  self._arrays.total_raw_bytes / 1e6 / max(t.elapsed, 1e-9))
 
     def load_corpus_bytes(self, data: bytes) -> None:
-        faithful = self.config.tie_break == "faithful"
+        faithful = (self.config.tie_break == "faithful"
+                    or self.config.backend == "cpu")
         self._corpus = native.NativeCorpus.from_bytes(
             data, faithful_order=faithful)
         self._ingest()
@@ -108,7 +113,14 @@ class BPETrainer:
     def train(self, max_merges: int | None = None) -> int:
         if self._arrays is None:
             raise TrainingError("load_corpus must be called before train")
+        resuming = len(self._merges) > 0 and not self._trained
         if self.config.backend == "cpu" or self.config.tie_break == "faithful":
+            if resuming:
+                raise TrainingError(
+                    "checkpoint resume needs the device engines "
+                    "(backend='tpu', tie_break='lex'): the faithful "
+                    "engine's tie-break state cannot be reconstructed "
+                    "mid-training")
             return self._train_cpu_or_faithful(max_merges)
         return self._train_tpu(max_merges)
 
@@ -116,11 +128,31 @@ class BPETrainer:
         # tie_break="faithful" requires the reference's heap/hash iteration
         # artifacts (docs/CONFORMANCE.md §2), which only the native engine
         # reproduces; it is used regardless of backend.
+        cfg = self.config
         t = native.FaithfulTrainer(
-            self.config.target_vocab_size, self.config.unk_id,
-            self.config.character_coverage, self.config.min_pair_freq)
+            cfg.target_vocab_size, cfg.unk_id,
+            cfg.character_coverage, cfg.min_pair_freq)
         t.load(self._corpus)
-        n = t.train(-1 if max_merges is None else max_merges)
+        limit = -1 if max_merges is None else max_merges
+        if cfg.checkpoint_path and cfg.checkpoint_every:
+            from .. import checkpoint as ckpt
+            n = 0
+            while True:
+                step = cfg.checkpoint_every
+                if limit >= 0:
+                    step = min(step, limit - n)
+                    if step <= 0:
+                        break
+                got = t.train(step)
+                n += got
+                ckpt.save_checkpoint(
+                    cfg.checkpoint_path, merges=t.merges(),
+                    merge_freqs=t.merge_freqs().astype(np.int64),
+                    config=cfg)
+                if got < step:
+                    break
+        else:
+            n = t.train(limit)
         self._merges = t.merges()
         self._merge_freqs = t.merge_freqs().astype(np.int64)
         toks, wids = t.tokens()
@@ -282,11 +314,23 @@ class BPETrainer:
         counts = np.minimum(self._arrays.counts,
                             np.iinfo(np.int32).max).astype(np.int32)
         interpret = jax.default_backend() == "cpu"
+        cb = None
+        steps = 512
+        if cfg.checkpoint_path and cfg.checkpoint_every:
+            from .. import checkpoint as ckpt
+            steps = cfg.checkpoint_every
+
+            def cb(merges, freqs):
+                ckpt.save_checkpoint(
+                    cfg.checkpoint_path, merges=merges.astype(np.int32),
+                    merge_freqs=freqs.astype(np.int64), config=cfg)
+
         with log.Timer("train", nbytes=self._arrays.total_raw_bytes) as t:
             out = bpe_hist.hist_train(
                 tokens, word_id, counts, target_merges=target,
                 unk_id=cfg.unk_id, min_pair_freq=cfg.min_pair_freq,
-                interpret=interpret)
+                interpret=interpret, max_steps_per_call=steps,
+                progress_cb=cb)
             if out is None:
                 return None
             merges, freqs, ftok, fwid = out

@@ -534,7 +534,7 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
                *, target_merges: int, unk_id: int = -1,
                min_pair_freq: int = 2, max_word_len: int = 64,
                max_steps_per_call: int = 512, interpret: bool = False,
-               sparse: bool = False, _cache={}):
+               sparse: bool = False, progress_cb=None, _cache={}):
     # sparse (chunk-skipping, manual DMA) measured SLOWER than the dense
     # double-buffered pipeline at bench scale (1.85s vs 1.14s for 512
     # merges): early merges touch every chunk and the manual copies
@@ -550,7 +550,8 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
     L, W = c.tw.shape
     if sparse:
         ts = _sparse_drive(c, v, unk_id, min_pair_freq, target_merges,
-                           max_steps_per_call, interpret, _cache)
+                           max_steps_per_call, interpret, _cache,
+                           progress_cb)
     else:
         ts = hist_train_init(c, unk_id, max(target_merges, 1), v)
         ts = ts._replace(corpus=HistCorpus(
@@ -565,6 +566,9 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
             n_before = int(ts.n_merges)
             ts = loop(ts, jnp.int32(unk_id), jnp.int32(min_pair_freq))
             n_after = int(ts.n_merges)
+            if progress_cb is not None:
+                progress_cb(np.asarray(ts.merges)[:n_after],
+                            np.asarray(ts.merge_freqs)[:n_after])
             if bool(ts.done) or n_after >= target_merges \
                     or n_after == n_before:
                 break
@@ -583,7 +587,7 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
 
 def _sparse_drive(c: HistCorpus, v: int, unk_id, min_pair_freq,
                   target_merges: int, max_steps: int, interpret: bool,
-                  _cache) -> HistTrainState:
+                  _cache, progress_cb=None) -> HistTrainState:
     L, W = c.tw.shape
     hist = init_hist(c, jnp.int32(unk_id), v=v)
     tw16 = c.tw.astype(jnp.int16)
@@ -604,6 +608,9 @@ def _sparse_drive(c: HistCorpus, v: int, unk_id, min_pair_freq,
             tw16, c.wcount, presence, hist, merges, freqs, n_merges,
             done, jnp.int32(unk_id), jnp.int32(min_pair_freq))
         n_after = int(n_merges)
+        if progress_cb is not None:
+            progress_cb(np.asarray(merges)[:n_after],
+                        np.asarray(freqs)[:n_after])
         if bool(done) or n_after >= target_merges or n_after == n_before:
             break
     return HistTrainState(
