@@ -50,6 +50,7 @@ class BPETrainer:
             character_coverage=character_coverage,
             min_pair_freq=min_pair_freq, **kwargs).validate()
         self._corpus: native.NativeCorpus | None = None
+        self._faithful: native.FaithfulTrainer | None = None
         self._arrays: native.CorpusArrays | None = None
         self._keep: np.ndarray | None = None
         self._merges = np.zeros((0, 2), dtype=np.int32)
@@ -86,6 +87,9 @@ class BPETrainer:
         self._ingest()
 
     def _ingest(self) -> None:
+        if self._faithful is not None:   # stale vs the new corpus
+            self._faithful.free()
+            self._faithful = None
         self._arrays = self._corpus.arrays()
         keep, n_kept, n_unique = self._corpus.coverage(
             self.config.character_coverage)
@@ -129,10 +133,12 @@ class BPETrainer:
         # artifacts (docs/CONFORMANCE.md §2), which only the native engine
         # reproduces; it is used regardless of backend.
         cfg = self.config
-        t = native.FaithfulTrainer(
-            cfg.target_vocab_size, cfg.unk_id,
-            cfg.character_coverage, cfg.min_pair_freq)
-        t.load(self._corpus)
+        if self._faithful is None:
+            self._faithful = native.FaithfulTrainer(
+                cfg.target_vocab_size, cfg.unk_id,
+                cfg.character_coverage, cfg.min_pair_freq)
+            self._faithful.load(self._corpus)
+        t = self._faithful   # kept alive: train() continues incrementally
         limit = -1 if max_merges is None else max_merges
         if cfg.checkpoint_path and cfg.checkpoint_every:
             from .. import checkpoint as ckpt
@@ -158,7 +164,6 @@ class BPETrainer:
         toks, wids = t.tokens()
         self._final_tokens, self._final_word_id = toks, wids
         self._trained = True
-        t.free()
         log.info("Training completed: %d merges performed.", n)
         return n
 
@@ -171,6 +176,11 @@ class BPETrainer:
         target = cfg.target_merges
         if max_merges is not None:
             target = min(target, len(self._merges) + max_merges)
+        if int(self._arrays.counts.max(initial=0)) >= 2**31 or \
+                self._arrays.total_raw_bytes >= 2**31:
+            raise TrainingError(
+                "corpus counts exceed the device engines' int32 range; "
+                "use backend='cpu' (64-bit counts)")
         tokens, word_id, wcount = self._token_arrays()
         n = len(tokens)
         if n == 0 or target <= 0:
@@ -313,7 +323,7 @@ class BPETrainer:
         cfg = self.config
         counts = np.minimum(self._arrays.counts,
                             np.iinfo(np.int32).max).astype(np.int32)
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
         cb = None
         steps = 512
         if cfg.checkpoint_path and cfg.checkpoint_every:
@@ -385,10 +395,17 @@ class BPETrainer:
         if vocab_path is not None:
             serialization.write_vocab(vocab_path, self._merges,
                                       self.token_frequencies())
-        log.info("Saved %d-token vocab to %s and %d merges to %s",
-                 self.vocab_size, vocab_path, self.num_merges, model_path)
+        if vocab_path is not None:
+            log.info("Saved %d-token vocab to %s and %d merges to %s",
+                     self.vocab_size, vocab_path, self.num_merges,
+                     model_path)
+        else:
+            log.info("Saved %d merges to %s", self.num_merges, model_path)
 
     def destroy(self) -> None:
+        if self._faithful is not None:
+            self._faithful.free()
+            self._faithful = None
         if self._corpus is not None:
             self._corpus.free()
             self._corpus = None

@@ -117,6 +117,68 @@ def _shift_down(x, fill):
     return jnp.where(row == 0, fill, r)
 
 
+def _select_and_apply(tt, a, b, new, L):
+    """Greedy left-to-right match selection + merge + hole-march
+    compaction on one [L, C] block.  Returns (t2, sel)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, CHUNK), 0)
+    nxt = _shift_up(tt, PAD)
+    m = ((tt == a) & (nxt == b)).astype(jnp.int32)
+    sel = jnp.zeros((L, CHUNK), jnp.int32)
+    for l in range(L):                               # greedy overlap rule
+        prev = _shift_down(sel, 0)
+        sel = jnp.where(row == l, m * (1 - prev), sel)
+    t2 = tt + sel * (new - tt)
+    hole = _shift_down(sel, 0)
+    for _ in range(L - 1):                           # hole march
+        t_dn = _shift_up(t2, PAD)
+        t2 = t2 + hole * (t_dn - t2)
+        hole = _shift_down(hole, 0)
+    return t2, sel
+
+
+def _delta_vectors(tt, sel, a, b, new, unk, ww, v, L):
+    """Per-chunk (acc_l, acc_r) f32[1, v] delta vectors via masked
+    one-hot matmuls over the PRE-merge block.
+
+    acc_l is converted per merge to int32 by the caller; per-row f32
+    partial sums stay exact while a row's total match weight < 2^24
+    (the layout builder enforces a per-chunk mass bound — see
+    build_layout)."""
+    sel2 = _shift_down(_shift_down(sel, 0), 0)
+    t_up = _shift_down(tt, PAD)                      # t[r-1]
+    lval = t_up + sel2 * (new - t_up)                # override: earlier
+    rval = _shift_up(_shift_up(tt, PAD), PAD)        # t[r+2], pre-merge
+    wsel = sel * ww
+    wl = jnp.where((lval >= 0) & (lval != unk), wsel, 0)
+    wr = jnp.where((rval >= 0) & (rval != unk), wsel, 0)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, v), 1)
+    acc_l = jnp.zeros((1, v), jnp.float32)
+    acc_r = jnp.zeros((1, v), jnp.float32)
+    for l in range(L):
+        oh_l = (lval[l][:, None] == iota_v).astype(jnp.float32)
+        oh_r = (rval[l][:, None] == iota_v).astype(jnp.float32)
+        lw = wl[l].astype(jnp.float32)[None, :]
+        rw = wr[l].astype(jnp.float32)[None, :]
+        acc_l += jax.lax.dot_general(
+            lw, oh_l, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_r += jax.lax.dot_general(
+            rw, oh_r, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return acc_l, acc_r
+
+
+def apply_hist_updates(hist, a, b, new, dl, dr):
+    """The five exact table updates shared by every train loop:
+    column a/new from the left-side vector, row b/new from the
+    right-side vector, merged cell zeroed."""
+    hist = hist.at[:, a].add(-dl)
+    hist = hist.at[:, new].add(dl)
+    hist = hist.at[b, :].add(-dr)
+    hist = hist.at[new, :].add(dr)
+    return hist.at[a, b].set(0)
+
+
 def _merge_kernel(v: int, L: int, scal_ref, t_ref, w_ref,
                   tout_ref, dl_ref, dr_ref, nm_ref):
     a = scal_ref[0]
@@ -125,21 +187,8 @@ def _merge_kernel(v: int, L: int, scal_ref, t_ref, w_ref,
     unk = scal_ref[3]
     tt = t_ref[:].astype(jnp.int32)                  # [L, C] (i16 in HBM)
     ww = w_ref[:]                                    # [1, C]
-    row = jax.lax.broadcasted_iota(jnp.int32, (L, CHUNK), 0)
 
-    nxt = _shift_up(tt, PAD)
-    m = ((tt == a) & (nxt == b)).astype(jnp.int32)
-    sel = jnp.zeros((L, CHUNK), jnp.int32)
-    for l in range(L):                               # greedy overlap rule
-        prev = _shift_down(sel, 0)
-        sel = jnp.where(row == l, m * (1 - prev), sel)
-
-    t2 = tt + sel * (new - tt)
-    hole = _shift_down(sel, 0)
-    for _ in range(L - 1):                           # hole march
-        t_dn = _shift_up(t2, PAD)
-        t2 = t2 + hole * (t_dn - t2)
-        hole = _shift_down(hole, 0)
+    t2, sel = _select_and_apply(tt, a, b, new, L)
     tout_ref[:] = t2.astype(jnp.int16)
 
     @pl.when(pl.program_id(0) == 0)
@@ -153,32 +202,7 @@ def _merge_kernel(v: int, L: int, scal_ref, t_ref, w_ref,
 
     @pl.when(n_match > 0)
     def _():
-        # neighbor values from the PRE-merge matrix with the
-        # earlier-occurrence override (sel two rows up -> left is `new`)
-        sel2 = _shift_down(_shift_down(sel, 0), 0)
-        t_up = _shift_down(tt, PAD)                  # t[r-1]
-        lval = t_up + sel2 * (new - t_up)
-        t_dn2 = _shift_up(_shift_up(tt, PAD), PAD)   # t[r+2]
-        rval = t_dn2
-
-        wsel = sel * ww                              # weight at matches
-        wl = jnp.where((lval >= 0) & (lval != unk), wsel, 0)
-        wr = jnp.where((rval >= 0) & (rval != unk), wsel, 0)
-
-        iota_v = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, v), 1)
-        acc_l = jnp.zeros((1, v), jnp.float32)
-        acc_r = jnp.zeros((1, v), jnp.float32)
-        for l in range(L):
-            oh_l = (lval[l][:, None] == iota_v).astype(jnp.float32)
-            oh_r = (rval[l][:, None] == iota_v).astype(jnp.float32)
-            lw = wl[l].astype(jnp.float32)[None, :]
-            rw = wr[l].astype(jnp.float32)[None, :]
-            acc_l += jax.lax.dot_general(
-                lw, oh_l, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_r += jax.lax.dot_general(
-                rw, oh_r, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        acc_l, acc_r = _delta_vectors(tt, sel, a, b, new, unk, ww, v, L)
         dl_ref[:] += acc_l.astype(jnp.int32)
         dr_ref[:] += acc_r.astype(jnp.int32)
 
@@ -218,51 +242,20 @@ def _merge_kernel_sparse(v: int, L: int, flags_ref, scal_ref,
             unk = scal_ref[3]
             tt = tbuf[:].astype(jnp.int32)
             ww = wbuf[:]
-            row = jax.lax.broadcasted_iota(jnp.int32, (L, CHUNK), 0)
 
-            nxt = _shift_up(tt, PAD)
-            m = ((tt == a) & (nxt == b)).astype(jnp.int32)
-            sel = jnp.zeros((L, CHUNK), jnp.int32)
-            for l in range(L):
-                prev = _shift_down(sel, 0)
-                sel = jnp.where(row == l, m * (1 - prev), sel)
-
-            t2 = tt + sel * (new - tt)
-            hole = _shift_down(sel, 0)
-            for _ in range(L - 1):
-                t_dn = _shift_up(t2, PAD)
-                t2 = t2 + hole * (t_dn - t2)
-                hole = _shift_down(hole, 0)
-
+            t2, sel = _select_and_apply(tt, a, b, new, L)
             nm_ref[0, 0] += jnp.sum(sel)
 
-            sel2 = _shift_down(_shift_down(sel, 0), 0)
-            t_up = _shift_down(tt, PAD)
-            lval = t_up + sel2 * (new - t_up)
-            rval = _shift_up(_shift_up(tt, PAD), PAD)
-            wsel = sel * ww
-            wl = jnp.where((lval >= 0) & (lval != unk), wsel, 0)
-            wr = jnp.where((rval >= 0) & (rval != unk), wsel, 0)
-
-            iota_v = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, v), 1)
-            acc_l = jnp.zeros((1, v), jnp.float32)
-            acc_r = jnp.zeros((1, v), jnp.float32)
-            pres = jnp.zeros((1, v), jnp.int32)
-            for l in range(L):
-                oh_l = (lval[l][:, None] == iota_v).astype(jnp.float32)
-                oh_r = (rval[l][:, None] == iota_v).astype(jnp.float32)
-                acc_l += jax.lax.dot_general(
-                    wl[l].astype(jnp.float32)[None, :], oh_l,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                acc_r += jax.lax.dot_general(
-                    wr[l].astype(jnp.float32)[None, :], oh_r,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                here = (t2[l][:, None] == iota_v).astype(jnp.int32)
-                pres = jnp.maximum(pres, jnp.max(here, axis=0)[None, :])
+            acc_l, acc_r = _delta_vectors(tt, sel, a, b, new, unk, ww,
+                                          v, L)
             dl_ref[:] += acc_l.astype(jnp.int32)
             dr_ref[:] += acc_r.astype(jnp.int32)
+
+            iota_v = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, v), 1)
+            pres = jnp.zeros((1, v), jnp.int32)
+            for l in range(L):
+                here = (t2[l][:, None] == iota_v).astype(jnp.int32)
+                pres = jnp.maximum(pres, jnp.max(here, axis=0)[None, :])
 
             tbuf[:] = t2.astype(jnp.int16)
             # presence rows are stored 8-deep: HBM slices must align to
@@ -339,6 +332,19 @@ def make_merge_step_sparse(v: int, L: int, W: int,
         )(flags, scal, tw, wcount, presence)
 
     return merge_step
+
+
+def _delta_mass_safe(wcount: np.ndarray, L: int) -> bool:
+    """The delta matmuls accumulate int-valued f32 per chunk-row; they
+    are exact while every row's worst-case match mass (each word can
+    match at most L//2 times per row... conservatively: the chunk's
+    total word-count mass) stays below 2^24.  Larger corpora fall back
+    to the flat engine's pure-int32 counting."""
+    wc = wcount.reshape(-1)
+    n_chunks = len(wc) // CHUNK
+    mass = wc[: n_chunks * CHUNK].reshape(n_chunks, CHUNK).sum(
+        axis=1, dtype=np.int64)
+    return bool(mass.max(initial=0) < (1 << 24))
 
 
 def build_presence(tw: np.ndarray, v: int) -> np.ndarray:
@@ -446,12 +452,7 @@ def make_train_loop(v: int, L: int, W: int, *, target_merges: int,
                 scal = jnp.stack([a, b, new, unk_id]).astype(jnp.int32)
                 t2, dl, dr, _ = merge_step(ts.corpus.tw, ts.corpus.wcount,
                                            scal)
-                hist = ts.hist
-                hist = hist.at[:, a].add(-dl[0])
-                hist = hist.at[:, new].add(dl[0])
-                hist = hist.at[b, :].add(-dr[0])
-                hist = hist.at[new, :].add(dr[0])
-                hist = hist.at[a, b].set(0)
+                hist = apply_hist_updates(ts.hist, a, b, new, dl[0], dr[0])
                 merges = ts.merges.at[ts.n_merges].set(
                     jnp.stack([a, b]).astype(jnp.int32))
                 freqs = ts.merge_freqs.at[ts.n_merges].set(
@@ -501,11 +502,7 @@ def make_train_loop_sparse(v: int, L: int, W: int, *, target_merges: int,
                 flags = presence[:, 0, a] * presence[:, 0, b]
                 t2, pres2, dl, dr, _ = merge_step(tw, wcount, presence,
                                                   flags, scal)
-                hist = hist.at[:, a].add(-dl[0])
-                hist = hist.at[:, new].add(dl[0])
-                hist = hist.at[b, :].add(-dr[0])
-                hist = hist.at[new, :].add(dr[0])
-                hist = hist.at[a, b].set(0)
+                hist = apply_hist_updates(hist, a, b, new, dl[0], dr[0])
                 merges = merges.at[n_merges].set(
                     jnp.stack([a, b]).astype(jnp.int32))
                 freqs = freqs.at[n_merges].set(cnt.astype(jnp.int32))
@@ -547,6 +544,8 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
                      min_len=16)   # int16 storage: (16, 128) min tile
     if c is None or v > 2048:
         return None
+    if not _delta_mass_safe(np.asarray(c.wcount), c.tw.shape[0]):
+        return None   # f32 delta partial sums could round; flat engine
     L, W = c.tw.shape
     if sparse:
         ts = _sparse_drive(c, v, unk_id, min_pair_freq, target_merges,
@@ -574,13 +573,12 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
                 break
     n = int(ts.n_merges)
     tw = np.asarray(ts.corpus.tw)
-    live = tw >= 0
-    n_words_live = int(np.asarray(ts.corpus.wcount != 0).sum())
-    cols = live.T                      # [W, L]
+    n_real_words = int(word_id[-1]) + 1   # padding columns are beyond
+    cols = (tw >= 0).T                    # [W, L]
     final_tokens = tw.T[cols]
     final_word_id = np.repeat(np.arange(tw.shape[1], dtype=np.int32),
                               cols.sum(1))
-    keep = final_word_id < n_words_live
+    keep = final_word_id < n_real_words
     return (np.asarray(ts.merges)[:n], np.asarray(ts.merge_freqs)[:n],
             final_tokens[keep].astype(np.int32), final_word_id[keep])
 

@@ -33,11 +33,13 @@ RANK_INF = jnp.iinfo(jnp.int32).max
 
 
 def _np_mix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    h = (a.astype(np.uint32) * np.uint32(0x9E3779B1)
-         + b.astype(np.uint32) * np.uint32(0x85EBCA6B))
-    h ^= h >> np.uint32(16)
-    h *= np.uint32(0x045D9F3B)
-    h ^= h >> np.uint32(16)
+    # uint32 wraparound is the point of the mix; silence the warnings
+    with np.errstate(over="ignore"):
+        h = (a.astype(np.uint32) * np.uint32(0x9E3779B1)
+             + b.astype(np.uint32) * np.uint32(0x85EBCA6B))
+        h ^= h >> np.uint32(16)
+        h *= np.uint32(0x045D9F3B)
+        h ^= h >> np.uint32(16)
     return h
 
 

@@ -92,11 +92,7 @@ def build_sharded_hist_loop(mesh: Mesh, v: int, L: int, W: int, *,
                 t2, dl, dr, _ = merge_step(tw, wc, scal)
                 dl = jax.lax.psum(dl[0], axis)
                 dr = jax.lax.psum(dr[0], axis)
-                hist = hist.at[:, a].add(-dl)
-                hist = hist.at[:, new].add(dl)
-                hist = hist.at[b, :].add(-dr)
-                hist = hist.at[new, :].add(dr)
-                hist = hist.at[a, b].set(0)
+                hist = bpe_hist.apply_hist_updates(hist, a, b, new, dl, dr)
                 merges = merges.at[n_merges].set(
                     jnp.stack([a, b]).astype(jnp.int32))
                 freqs = freqs.at[n_merges].set(cnt.astype(jnp.int32))
@@ -142,6 +138,8 @@ def sharded_hist_train(tokens: np.ndarray, word_id: np.ndarray,
     c = shard_layout(tokens, word_id, wcount, n_shards)
     if c is None:
         return None
+    if not bpe_hist._delta_mass_safe(np.asarray(c.wcount), c.tw.shape[0]):
+        return None   # f32 delta exactness bound (see bpe_hist)
     L, W = c.tw.shape
     hist = bpe_hist.init_hist(c, jnp.int32(unk_id), v=v)
     st = ShardedHistState(
