@@ -1,0 +1,100 @@
+"""At-scale conformance: faithful engine vs the compiled reference
+binary on a ~2MB zipf corpus (bench-like shape: ~40k distinct words).
+
+The reference binary crashes AFTER training at large scale (bpe_save
+segfault — its own bug), so the oracle merges are dumped by the driver
+before save."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+DRIVER = r'''
+#include <cstdio>
+#include <cstdlib>
+#include "bpe.h"
+int main(int argc, char** argv) {
+  BPEConfig cfg;
+  cfg.target_vocab_size = atol(argv[2]);
+  cfg.unk_id = -1;
+  cfg.character_coverage = atof(argv[3]);
+  cfg.min_pair_freq = strtoull(argv[4], nullptr, 10);
+  Trainer* t = create_trainer(&cfg);
+  if (bpe_load_corpus(t, argv[1]) != 0) return 3;
+  int n = bpe_train(t);
+  FILE* f = fopen(argv[5], "wb");
+  for (int i = 0; i < n; i++) {
+    int32_t pair[2] = {t->merge_ops[i].first, t->merge_ops[i].second};
+    fwrite(pair, 4, 2, f);
+  }
+  fclose(f);
+  return 0;
+}
+'''
+
+
+@pytest.fixture(scope="module")
+def oracle(tmp_path_factory):
+    ref = "/root/reference/shredword/csrc"
+    if not os.path.isdir(ref):
+        pytest.skip("reference tree unavailable")
+    d = tmp_path_factory.mktemp("refscale")
+    fixed = d / "csrc"
+    subprocess.run(["cp", "-r", ref, str(fixed)], check=True)
+    hist = fixed / "bpe" / "histogram.cpp"
+    src = hist.read_text()
+    hist.write_text(src.replace(
+        "s->id = id;", "s->id = id;\n    s->deleted = false;", 1))
+    (d / "driver.cpp").write_text(DRIVER)
+    out = str(d / "ref_trainer")
+    r = subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-o", out, str(d / "driver.cpp")] +
+        [str(fixed / "bpe" / f) for f in
+         ("bpe.cpp", "hash.cpp", "heap.cpp", "histogram.cpp")] +
+        ["-I", str(fixed / "bpe")], capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"reference build failed: {r.stderr[:200]}")
+    return out
+
+
+@pytest.fixture(scope="module")
+def big_corpus(tmp_path_factory):
+    rng = np.random.RandomState(99)
+    n_vocab = 40_000
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    words = ["".join(letters[rng.randint(0, 26, L)])
+             for L in rng.randint(2, 13, n_vocab)]
+    probs = 1.0 / np.arange(1, n_vocab + 1) ** 1.05
+    probs /= probs.sum()
+    parts = []
+    total = 0
+    while total < 2 * 10**6:
+        idx = rng.choice(n_vocab, size=5000, p=probs)
+        s = " ".join(words[i] for i in idx) + "\n"
+        parts.append(s)
+        total += len(s)
+    p = tmp_path_factory.mktemp("big") / "corpus.txt"
+    p.write_text("".join(parts))
+    return str(p)
+
+
+def test_faithful_matches_reference_at_scale(oracle, big_corpus, tmp_path):
+    from shredword_tpu.runtime.native import FaithfulTrainer, NativeCorpus
+    merges_path = str(tmp_path / "ref.merges")
+    r = subprocess.run(
+        [oracle, big_corpus, "700", "0.9999", "20", merges_path],
+        capture_output=True, timeout=600)
+    # the reference may crash after writing (rc 134/139) — file is valid
+    ref = np.fromfile(merges_path, np.int32).reshape(-1, 2)
+    assert len(ref) > 100
+
+    c = NativeCorpus.from_file(big_corpus, faithful_order=True)
+    t = FaithfulTrainer(700, -1, 0.9999, 20)
+    t.load(c)
+    n = t.train()
+    assert n == len(ref)
+    np.testing.assert_array_equal(t.merges(), ref)
+    t.free()
+    c.free()
