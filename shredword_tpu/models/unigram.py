@@ -33,7 +33,7 @@ import math
 import numpy as np
 
 from ..config import UnigramConfig
-from ..errors import TrainingError
+from ..errors import EncodeError, TrainingError
 from ..runtime import native
 from ..utils import logging as log
 
@@ -87,7 +87,11 @@ class UnigramTrainer:
         sv = native.SeedVocab()
         try:
             for w, c in zip(self._words, self._wcounts):
-                sv.add(w, max_len=self.config.max_piece_len, weight=int(c))
+                # skip_markers=False: word-boundary pieces (marker-
+                # prefixed) must be seedable for the trainer, unlike the
+                # reference-parity enumerator surface
+                sv.add(w, max_len=self.config.max_piece_len,
+                       weight=int(c), skip_markers=False)
             pieces, counts = sv.export(self.config.seed_size)
         finally:
             sv.free()
@@ -110,12 +114,15 @@ class UnigramTrainer:
 
     # ------------------------------------------------------------------
 
-    def _e_step(self, pieces, logp):
-        """Expected piece counts + total log likelihood (device DP)."""
+    def _e_step(self, pieces, logp, table=None):
+        """Expected piece counts + total log likelihood (device DP).
+        `table` may be precomputed (pieces unchanged between EM rounds —
+        only logp varies)."""
         from ..ops import unigram_ops
         L = self.config.max_word_len
         K = self.config.max_piece_len
-        table = native.piece_table(self._words, pieces, L, K)
+        if table is None:
+            table = native.piece_table(self._words, pieces, L, K)
         wlen = np.asarray([len(w) for w in self._words], np.int32)
         exp_counts, ll = unigram_ops.forward_backward(
             table, wlen, self._wcounts.astype(np.float32),
@@ -133,8 +140,11 @@ class UnigramTrainer:
         log.info("Unigram seed: %d pieces", len(pieces))
 
         while True:
+            table = native.piece_table(self._words, pieces,
+                                       cfg.max_word_len,
+                                       cfg.max_piece_len)
             for r in range(cfg.num_em_rounds):
-                exp_counts, ll = self._e_step(pieces, logp)
+                exp_counts, ll = self._e_step(pieces, logp, table=table)
                 tot = exp_counts.sum()
                 with np.errstate(divide="ignore"):
                     logp = np.where(exp_counts > 0,
@@ -159,7 +169,16 @@ class UnigramTrainer:
                 if not keep[idx]:
                     keep[idx] = True
                     slots -= 1
-            pieces = [p for p, k in zip(pieces, keep) if k]
+            new_pieces = [p for p, k in zip(pieces, keep) if k]
+            if len(new_pieces) == len(pieces):
+                log.warning(
+                    "unigram prune cannot shrink below %d required "
+                    "pieces (target %d); stopping", int(required.sum()),
+                    cfg.target_vocab_size)
+                pieces = new_pieces
+                logp = logp[keep]
+                break
+            pieces = new_pieces
             logp = logp[keep]
             logp -= np.log(np.exp(logp).sum() + 1e-300)
         self.pieces = pieces
@@ -220,8 +239,9 @@ class UnigramTokenizer:
                     best[j] = cand
                     back[j] = (j - l, pid)
         if not math.isfinite(best[n]):
-            raise TrainingError(
-                f"word {word!r} cannot be segmented (missing single bytes)")
+            raise EncodeError(
+                f"word {word!r} cannot be segmented: it contains bytes "
+                "absent from the training corpus")
         ids = []
         j = n
         while j > 0:

@@ -81,7 +81,10 @@ def _fb_device(ids_s, ids_e, lp_ext, wlen, wcount, n_pieces: int):
         win = jnp.concatenate([b_j[:, None], win[:, :-1]], axis=1)
         return win, b_j
 
-    winb0 = jnp.full((W, K), NEG_INF)
+    # winb0[:, k] = beta[L + k]; beta[L] = 0 for words of length
+    # exactly L (the at_end patch below only reaches j <= L-1)
+    winb0 = jnp.full((W, K), NEG_INF).at[:, 0].set(
+        jnp.where(wlen == L, 0.0, NEG_INF))
     at_end = (j_idx[:-1] == wlen[None, :])         # [L, W]
     _, beta_rev = jax.lax.scan(bwd, winb0, (lp_s[::-1], at_end[::-1]))
     beta = beta_rev[::-1]                          # beta[j], j = 0..L-1
@@ -198,11 +201,18 @@ def viterbi(table: np.ndarray, wlen: np.ndarray, logp: np.ndarray):
     score, back = _viterbi_device(jnp.asarray(ids_e), jnp.asarray(lp_ext),
                                   jnp.asarray(wlen))
     back = np.asarray(back)            # [L, W] best piece length - 1
+    score_np = np.asarray(score)
     ids_s_np = ids_s                   # [L, W, K]
     out = []
     for w in range(table.shape[0]):
+        n_w = int(wlen[w])
+        if n_w > 0 and not np.isfinite(score_np[n_w - 1, w]):
+            from ..errors import EncodeError
+            raise EncodeError(
+                f"word {w} cannot be segmented with this piece set "
+                "(missing byte pieces)")
         ids = []
-        j = int(wlen[w])
+        j = n_w
         while j > 0:
             k = int(back[j - 1, w])
             start = j - (k + 1)

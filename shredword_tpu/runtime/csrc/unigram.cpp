@@ -102,8 +102,13 @@ void shred_seed_vocab_free(void* h) { delete static_cast<SeedVocab*>(h); }
 // reference's hard cap (counted lengths are 1..15).  `weight` extends
 // the reference (always 1 there) so deduplicated corpora can be counted
 // without re-expansion.
-int shred_seed_vocab_add(void* h, const uint8_t* line, int64_t len,
-                         int64_t max_len, uint64_t weight) {
+// skip_markers=1 reproduces the reference add_subwords behavior (no
+// substring STARTS at a marker); 0 counts marker-prefixed substrings
+// too, which the unigram trainer needs so word-boundary pieces
+// ("\xe2\x96\x81word") can exist.
+int shred_seed_vocab_add_ex(void* h, const uint8_t* line, int64_t len,
+                            int64_t max_len, uint64_t weight,
+                            int skip_markers) {
   auto* v = static_cast<SeedVocab*>(h);
   if (!v || !line) return -1;
   v->sorted_valid = false;
@@ -111,7 +116,7 @@ int shred_seed_vocab_add(void* h, const uint8_t* line, int64_t len,
   const unsigned char* end = line + len;
   std::string key;
   while (start < end) {
-    if (is_marker(start, end)) {
+    if (skip_markers && is_marker(start, end)) {
       start += 3;
       continue;
     }
@@ -124,6 +129,11 @@ int shred_seed_vocab_add(void* h, const uint8_t* line, int64_t len,
     start++;
   }
   return 0;
+}
+
+int shred_seed_vocab_add(void* h, const uint8_t* line, int64_t len,
+                         int64_t max_len, uint64_t weight) {
+  return shred_seed_vocab_add_ex(h, line, len, max_len, weight, 1);
 }
 
 int64_t shred_seed_vocab_size(void* h) {

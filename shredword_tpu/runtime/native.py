@@ -105,6 +105,9 @@ def _declare(L: ctypes.CDLL) -> None:
     L.shred_seed_vocab_add.argtypes = [p, ctypes.c_char_p, i64, i64,
                                        ctypes.c_uint64]
     L.shred_seed_vocab_add.restype = ctypes.c_int
+    L.shred_seed_vocab_add_ex.argtypes = [p, ctypes.c_char_p, i64, i64,
+                                          ctypes.c_uint64, ctypes.c_int]
+    L.shred_seed_vocab_add_ex.restype = ctypes.c_int
     L.shred_seed_vocab_size.argtypes = [p]
     L.shred_seed_vocab_size.restype = i64
     L.shred_seed_vocab_export_bytes.argtypes = [p, i64]
@@ -361,9 +364,14 @@ class SeedVocab:
     def __init__(self):
         self._h = lib().shred_seed_vocab_create()
 
-    def add(self, line: bytes, max_len: int = 15, weight: int = 1) -> None:
-        rc = lib().shred_seed_vocab_add(self._h, line, len(line),
-                                        max_len, weight)
+    def add(self, line: bytes, max_len: int = 15, weight: int = 1,
+            skip_markers: bool = True) -> None:
+        """skip_markers=True is the reference add_subwords behavior;
+        False also counts marker-prefixed substrings (what the unigram
+        trainer needs for word-boundary pieces)."""
+        rc = lib().shred_seed_vocab_add_ex(self._h, line, len(line),
+                                           max_len, weight,
+                                           int(skip_markers))
         if rc != 0:
             raise RuntimeError("seed vocab add failed")
 

@@ -79,6 +79,15 @@ def write_model_v1(path: str, merges: np.ndarray, pattern: str = "",
                    special_tokens: dict[str, int] | None = None) -> None:
     special_tokens = special_tokens or {}
     merges = np.asarray(merges, dtype=np.int64)
+    if "\n" in pattern or "\r" in pattern:
+        raise SerializationError(
+            "v1 model format is line-oriented; pattern may not contain "
+            "newlines")
+    for name in special_tokens:
+        if any(c in name for c in "\n\r"):
+            raise SerializationError(
+                f"special token {name!r} contains a newline; "
+                "not representable in the v1 format")
     with open(path, "w", encoding="utf-8") as f:
         f.write("shredword v1\n")
         f.write(f"{pattern}\n")
@@ -99,7 +108,8 @@ def read_model_v1(path: str):
         num_special = int(f.readline().strip())
         special = {}
         for _ in range(num_special):
-            name, idx = f.readline().strip().split()
+            # rsplit: special-token names may contain spaces
+            name, idx = f.readline().rstrip("\n").rsplit(" ", 1)
             special[name] = int(idx)
         merges = []
         for line in f:
@@ -123,6 +133,10 @@ def convert(src: str, dst: str, **v1_kwargs) -> None:
     if dst.endswith((".v1.model", ".txt")):
         write_model_v1(dst, merges, **v1_kwargs)
     else:
+        if v1_kwargs.get("pattern") or v1_kwargs.get("special_tokens"):
+            raise SerializationError(
+                "binary .model cannot carry a pattern or special "
+                "tokens; convert to a .v1.model destination instead")
         write_model_binary(dst, merges)
 
 

@@ -72,10 +72,13 @@ def merge(ids, pair, idx):
 
 def build_vocab(merges, special_tokens=None):
     """id -> bytes over the 256-byte base + merges + specials
-    (reference helper, base.py:60-79)."""
+    (reference helper, base.py:60-79).  Components outside the known id
+    range (e.g. the faithful engine's unk-involving merges,
+    docs/CONFORMANCE.md §3) contribute no bytes — mirroring the
+    reference C++ bpe_save tolerance."""
     vocab = {i: bytes([i]) for i in range(256)}
     for m, (a, b) in enumerate(merges):
-        vocab[256 + m] = vocab[int(a)] + vocab[int(b)]
+        vocab[256 + m] = vocab.get(int(a), b"") + vocab.get(int(b), b"")
     for tok, idx in (special_tokens or {}).items():
         vocab[idx] = tok.encode("utf-8")
     return vocab
@@ -99,14 +102,16 @@ class Tokenizer:
     # ------------------------------------------------------------------
 
     def _rebuild(self) -> None:
-        # id -> bytes (build_vocab parity, base.py:60-79; full 256-byte
-        # base, merge concatenation, specials as utf-8)
-        vocab = {i: bytes([i]) for i in range(256)}
-        for m, (a, b) in enumerate(self.merges):
-            vocab[256 + m] = vocab.get(int(a), b"") + vocab.get(int(b), b"")
-        for special, idx in self.special_tokens.items():
-            vocab[idx] = special.encode("utf-8")
-        self.vocab = vocab
+        # the constructor/load path must enforce the same id-collision
+        # rule as register_special_tokens: a special id inside the
+        # byte+merge range would silently clobber a real token
+        limit = 256 + len(self.merges)
+        for name, idx in self.special_tokens.items():
+            if idx < limit:
+                raise EncodeError(
+                    f"special token {name!r} id {idx} collides with "
+                    f"merge ids (< {limit})")
+        self.vocab = build_vocab(self.merges, self.special_tokens)
         self._inverse_special = {v: k for k, v in self.special_tokens.items()}
         self._native = None
         self._table = None
