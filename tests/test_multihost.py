@@ -1,0 +1,95 @@
+"""True multi-process distributed training test: two OS processes join
+a jax.distributed process group on CPU and run the sharded hist trainer
+over the global mesh — the multi-host simulation SURVEY.md §4 calls for
+(the reference offers no pattern for this)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+
+rank = int(sys.argv[1])
+port = sys.argv[2]
+out = sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from shredword_tpu.parallel import multihost, sharded_hist_train
+
+multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=2, process_id=rank)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()
+mesh = multihost.global_mesh()
+
+rng = np.random.RandomState(0)
+n_words = 64
+lens = rng.randint(2, 9, n_words)
+word_id = np.repeat(np.arange(n_words, dtype=np.int32), lens)
+tokens = rng.randint(97, 105, len(word_id)).astype(np.int32)
+wc_word = rng.randint(1, 40, n_words).astype(np.int32)
+
+res = sharded_hist_train(tokens, word_id, wc_word, mesh=mesh,
+                         target_merges=12, unk_id=-1, min_pair_freq=2,
+                         interpret=True)
+assert res is not None
+merges, freqs = res
+np.save(out, np.concatenate([merges.reshape(-1), freqs]))
+print("rank", rank, "ok", len(merges))
+"""
+
+
+def test_two_process_distributed_training(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    outs = [str(tmp_path / f"out{r}.npy") for r in range(2)]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(r), str(port), outs[r]],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for r in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        logs.append(out)
+    for r, (p, lg) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{lg[-3000:]}"
+    a = np.load(outs[0])
+    b = np.load(outs[1])
+    np.testing.assert_array_equal(a, b)  # replicated results agree
+
+    # and match the single-process run of the same problem
+    rng = np.random.RandomState(0)
+    n_words = 64
+    lens = rng.randint(2, 9, n_words)
+    word_id = np.repeat(np.arange(n_words, dtype=np.int32), lens)
+    tokens = rng.randint(97, 105, len(word_id)).astype(np.int32)
+    wc_word = rng.randint(1, 40, n_words).astype(np.int32)
+    from shredword_tpu.ops import bpe_hist
+    ref = bpe_hist.hist_train(tokens, word_id, wc_word, target_merges=12,
+                              unk_id=-1, min_pair_freq=2, interpret=True)
+    merges = a[: 2 * len(ref[0])].reshape(-1, 2)
+    np.testing.assert_array_equal(merges, ref[0])
