@@ -86,6 +86,30 @@ class BPETrainer:
             data, faithful_order=faithful)
         self._ingest()
 
+    def load_corpora(self, paths: list[str]) -> None:
+        """Train on several corpus files at once (deduplicated jointly).
+
+        The reference documents calling load_corpus repeatedly for this
+        (UserBPE.md "Multiple Corpus Training") but its implementation
+        discards all but the last corpus; here load_corpus replaces by
+        design (matching the real reference behavior) and load_corpora
+        provides the documented capability honestly."""
+        chunks = []
+        for p in paths:
+            with open(p, "rb") as f:
+                chunks.append(f.read())
+            if chunks[-1] and not chunks[-1].endswith(b"\n"):
+                chunks.append(b"\n")
+        self.load_corpus_bytes(b"".join(chunks))
+
+    # context-manager support (the reference docs make users hand-roll
+    # a wrapper for this, UserBPE.md "Context Manager Pattern")
+    def __enter__(self) -> "BPETrainer":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.destroy()
+
     def _ingest(self) -> None:
         if self._faithful is not None:   # stale vs the new corpus
             self._faithful.free()

@@ -85,6 +85,25 @@ def test_special_tokens_roundtrip(tok):
         tok.encode("x<|eos|>", allowed_special="none_raise")
 
 
+def test_context_manager_and_multi_corpus(tmp_path):
+    c1 = tmp_path / "a.txt"
+    c2 = tmp_path / "b.txt"
+    c1.write_text("alpha beta alpha beta\n" * 20)
+    c2.write_text("beta gamma beta gamma\n" * 20)
+    with BPETrainer(target_vocab_size=280, unk_id=-1, min_pair_freq=2,
+                    backend="tpu") as t:
+        t.load_corpora([str(c1), str(c2)])
+        n = t.train()
+        assert n > 0
+        # both corpora contributed: tokens from each file's unique word
+        vocab_bytes = b"|".join(
+            __import__("shredword_tpu").serialization.token_strings(
+                t.merges))
+        assert b"alpha" in vocab_bytes or b"alph" in vocab_bytes
+        assert b"gamma" in vocab_bytes or b"gamm" in vocab_bytes
+    assert t._corpus is None  # context exit destroyed native state
+
+
 def test_single_char_corpus(tmp_path):
     """Single-character corpora legitimately produce 0 merges
     (coverage floor keeps one char; no pairs within 1-byte words)."""
