@@ -43,7 +43,7 @@ from ..utils.jaxcache import ensure_jax_cache
 ensure_jax_cache()
 
 PAD = -3
-CHUNK = 1024         # lane columns per grid step (multiple of 128)
+CHUNK = 512          # lane columns per grid step (multiple of 128)
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
