@@ -55,9 +55,37 @@ class BPETrainer:
         self._keep: np.ndarray | None = None
         self._merges = np.zeros((0, 2), dtype=np.int32)
         self._merge_freqs = np.zeros(0, dtype=np.int64)
-        self._final_tokens: np.ndarray | None = None
-        self._final_word_id: np.ndarray | None = None
+        self.__final_tokens: np.ndarray | None = None
+        self.__final_word_id: np.ndarray | None = None
+        self._final_fn = None   # lazy materializer (device -> host)
         self._trained = False
+
+    # The hist engine leaves the merged corpus on device; the D2H
+    # transfer (slow through tunneled TPUs) happens only when a consumer
+    # (token_frequencies, tokens()) first touches the arrays.
+    @property
+    def _final_tokens(self) -> np.ndarray | None:
+        self._materialize_final()
+        return self.__final_tokens
+
+    @_final_tokens.setter
+    def _final_tokens(self, value) -> None:
+        self._final_fn = None
+        self.__final_tokens = value
+
+    @property
+    def _final_word_id(self) -> np.ndarray | None:
+        self._materialize_final()
+        return self.__final_word_id
+
+    @_final_word_id.setter
+    def _final_word_id(self, value) -> None:
+        self.__final_word_id = value
+
+    def _materialize_final(self) -> None:
+        if self._final_fn is not None:
+            fn, self._final_fn = self._final_fn, None
+            self.__final_tokens, self.__final_word_id = fn()
 
     # ------------------------------------------------------------------
     # corpus
@@ -364,14 +392,15 @@ class BPETrainer:
                 tokens, word_id, counts, target_merges=target,
                 unk_id=cfg.unk_id, min_pair_freq=cfg.min_pair_freq,
                 interpret=interpret, max_steps_per_call=steps,
-                progress_cb=cb)
+                progress_cb=cb, lazy_final=True)
             if out is None:
                 return None
-            merges, freqs, ftok, fwid = out
+            merges, freqs, final_fn = out
         self._merges = merges.astype(np.int32)
         self._merge_freqs = freqs.astype(np.int64)
-        self._final_tokens = ftok
-        self._final_word_id = fwid
+        self._final_tokens = None
+        self._final_word_id = None
+        self._final_fn = final_fn
         self._trained = True
         log.info("Training completed: %d merges performed. (%.2f s, "
                  "hist engine)", len(merges), t.elapsed)

@@ -4,15 +4,21 @@ table + fused Pallas merge kernel.
 The flat-stream engine (bpe_ops.py) pays a global sort per merge.  This
 engine never sorts after initialization:
 
-  layout   tokens as int32[L, W] — one WORD PER LANE COLUMN (lane-major
+  layout   tokens as int16[L, W] — one WORD PER LANE COLUMN (lane-major
            so the VPU runs full-width), PAD = -3 beyond each word
   hist     int32[V, V] exact pair counts, maintained by per-merge
-           deltas; best pair = one argmax (row-major order = the
-           documented lex tie-break)
-  kernel   one fused Pallas pass per merge: match + greedy
-           left-to-right select + in-column hole-march compaction +
-           delta vectors via masked one-hot matmuls on the MXU,
-           gated per chunk on "any match here"
+           deltas; best pair via a maintained per-row max vector
+           (row-major order = the documented lex tie-break)
+  kernel   the FLAGSHIP path runs the ENTIRE training loop as one
+           pallas_call (make_fused_train): grid = merges, pair table +
+           corpus resident in VMEM scratch across grid steps, in-kernel
+           pick/update — zero HBM traffic and zero host round-trips per
+           merge.  Per-chunk work: match + greedy left-to-right select +
+           in-column hole-march compaction + delta histograms as masked
+           VPU lane-reduces, gated per chunk and per row on "any match
+           here".  A per-merge-dispatch variant (make_merge_step +
+           XLA while_loop) remains as the fallback when the corpus or
+           table exceeds the VMEM budget.
 
 Delta exactness (reference bpe_merge_batch accounting, bpe.cpp:437-470):
 a merge of (a,b)->N at column row r destroys pair (Lval, a) and creates
@@ -74,14 +80,15 @@ def build_layout(tokens: np.ndarray, word_id: np.ndarray,
         return None
     L = max(min_len, 1 << int(np.ceil(np.log2(L))))
     W = -(-n_words // CHUNK) * CHUNK
-    tw = np.full((L, W), PAD, np.int32)
+    tw = np.full((L, W), PAD, np.int16)   # halves the (slow) H2D upload
     starts = np.zeros(n_words + 1, np.int64)
     np.cumsum(lens, out=starts[1:])
     pos = np.arange(len(tokens)) - starts[word_id]
-    tw[pos, word_id] = tokens
+    tw[pos, word_id] = tokens             # initial ids are bytes/unk < 256
     wc = np.zeros((1, W), np.int32)
     wc[0, :n_words] = wcount
-    return HistCorpus(jnp.asarray(tw), jnp.asarray(wc))
+    # host arrays: each engine uploads exactly the layout it needs once
+    return HistCorpus(tw, wc)
 
 
 # ---------------------------------------------------------------------
@@ -91,8 +98,9 @@ def build_layout(tokens: np.ndarray, word_id: np.ndarray,
 @partial(jax.jit, static_argnames=("v",))
 def init_hist(c: HistCorpus, unk_id, *, v: int) -> jax.Array:
     L, W = c.tw.shape
-    t = c.tw.reshape(-1)
-    nxt = jnp.roll(c.tw, -1, axis=0).at[-1].set(PAD).reshape(-1)
+    tw32 = c.tw.astype(jnp.int32)         # layout stores int16
+    t = tw32.reshape(-1)
+    nxt = jnp.roll(tw32, -1, axis=0).at[-1].set(PAD).reshape(-1)
     w = jnp.broadcast_to(c.wcount, (L, W)).reshape(-1)
     valid = (t >= 0) & (nxt >= 0) & (t != unk_id) & (nxt != unk_id)
     key = jnp.where(valid, t * v + nxt, v * v)
@@ -120,10 +128,11 @@ def _shift_down(x, fill):
 def _select_and_apply(tt, a, b, new, L):
     """Greedy left-to-right match selection + merge + hole-march
     compaction on one [L, C] block.  Returns (t2, sel)."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (L, CHUNK), 0)
+    C = tt.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, C), 0)
     nxt = _shift_up(tt, PAD)
     m = ((tt == a) & (nxt == b)).astype(jnp.int32)
-    sel = jnp.zeros((L, CHUNK), jnp.int32)
+    sel = jnp.zeros((L, C), jnp.int32)
     for l in range(L):                               # greedy overlap rule
         prev = _shift_down(sel, 0)
         sel = jnp.where(row == l, m * (1 - prev), sel)
@@ -403,6 +412,319 @@ def make_merge_step(v: int, L: int, W: int, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------
+# fused whole-training kernel: hist + corpus resident in VMEM
+# ---------------------------------------------------------------------
+#
+# The while_loop engine below pays ~1.4 ms/merge of XLA overhead around
+# a ~0.4 ms merge pass (argmax over the [V, V] table, scatter updates,
+# loop-state plumbing — measured on a v5e).  This kernel runs the ENTIRE
+# merge loop as one pallas_call: grid = (max_merges,), the pair table
+# and the corpus live in VMEM scratch across grid steps, and the
+# argmax/update happen in-kernel.  Per-merge HBM traffic: zero.
+#
+# Layout: corpus as int16[NC, L, CHUNK] (leading dim = chunk so loads
+# use supported leading-dim dynamic indexing), weights int32[NC, 1,
+# CHUNK], hist int32[V, V].  Fits when hist + corpus + weights stay
+# under the VMEM budget (~12 MB of the ~16 MB/core); larger problems
+# fall back to the while_loop engine.
+
+_RB = 128          # hist row block for the in-kernel argmax/update
+
+
+def _fused_kernel(v: int, L: int, NC: int, fc: int, scal_ref, w_ref,
+                  t_hbm, h_hbm, tw_ref, hist_ref, mrow_ref,
+                  done_s, rowmax_s, dl_ref, dr_ref, sem_t, sem_h):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        done_s[0] = scal_ref[3]
+        cp_t = pltpu.make_async_copy(t_hbm, tw_ref, sem_t)
+        cp_h = pltpu.make_async_copy(h_hbm, hist_ref, sem_h)
+        cp_t.start()
+        cp_h.start()
+        cp_t.wait()
+        cp_h.wait()
+        rowmax_s[:] = jnp.max(hist_ref[:], axis=1, keepdims=True)
+
+    unk = scal_ref[0]
+    min_freq = scal_ref[1]
+    new = 256 + scal_ref[2] + i
+
+    # ---- pick: the maintained per-row max vector makes this O(v), not
+    # O(v*v); the full-table pass happens only inside the update below
+    # (fused with rowmax maintenance).  Tie-break: smallest row, then
+    # smallest column — the documented row-major/lex rule.
+    rm = rowmax_s[:]                                       # [v, 1]
+    rmm = jnp.where(rm >= min_freq, rm, 0)
+    m = jnp.max(rmm)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (v, 1), 0)
+    a = jnp.min(jnp.where(rmm == m, riota, INT32_MAX))
+    do = (m > 0) & (done_s[0] == 0) & (i < scal_ref[4])
+    a = jnp.where(do, a, 0)                                # safe slice base
+    r0 = (a // 8) * 8
+    blk = hist_ref[pl.ds(r0, 8), :]                        # [8, v]
+    rsel = jax.lax.broadcasted_iota(jnp.int32, (8, v), 0) == a - r0
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (8, v), 1)
+    b = jnp.min(jnp.where(rsel & (blk == m), ciota, INT32_MAX))
+    b = jnp.where(do, b, 0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    rec = (jnp.where(lane == 0, a, 0) + jnp.where(lane == 1, b, 0)
+           + jnp.where(lane == 2, m, 0)
+           + jnp.where(lane == 3, do.astype(jnp.int32), 0))
+    mrow_ref[:] = rec
+
+    @pl.when(jnp.logical_not(do))
+    def _():
+        done_s[0] = 1          # sticky: merging never revives a pair
+
+    @pl.when(do)
+    def _():
+        dl_ref[:] = jnp.zeros_like(dl_ref)
+        dr_ref[:] = jnp.zeros_like(dr_ref)
+
+        def chunk_body(c, carry):
+            tt = tw_ref[c].astype(jnp.int32)
+            nxt0 = _shift_up(tt, PAD)
+            mm = (tt == a) & (nxt0 == b)
+
+            @pl.when(jnp.any(mm))
+            def _():
+                t2, sel = _select_and_apply(tt, a, b, new, L)
+                tw_ref[c] = t2.astype(jnp.int16)
+                ww = w_ref[c]
+                # delta weights: identical accounting to _delta_vectors
+                sel2 = _shift_down(_shift_down(sel, 0), 0)
+                t_up = _shift_down(tt, PAD)
+                lval = t_up + sel2 * (new - t_up)
+                rval = _shift_up(_shift_up(tt, PAD), PAD)
+                wsel = sel * ww
+                wl = jnp.where((lval >= 0) & (lval != unk), wsel, 0)
+                wr = jnp.where((rval >= 0) & (rval != unk), wsel, 0)
+                # Per-row weighted histograms as masked VPU lane-reduces
+                # (MXU one-hot matvecs measured ~5x slower: the tiny N
+                # dimension leaves the systolic array idle).  Both sides
+                # accumulate as [v, 1] columns; the right side is
+                # transposed once per merge in the update.
+                iota_vc = jax.lax.broadcasted_iota(jnp.int32, (v, fc), 0)
+                for l in range(L):
+                    @pl.when(jnp.any(sel[l] != 0))
+                    def _(l=l):
+                        lw = jnp.broadcast_to(
+                            wl[l].astype(jnp.float32)[None, :], (v, fc))
+                        rw = jnp.broadcast_to(
+                            wr[l].astype(jnp.float32)[None, :], (v, fc))
+                        oh_l = iota_vc == lval[l][None, :]        # [v, C]
+                        dl_ref[:, :] += jnp.sum(
+                            jnp.where(oh_l, lw, 0.0), axis=1,
+                            keepdims=True)                        # [v, 1]
+                        oh_r = iota_vc == rval[l][None, :]
+                        dr_ref[:, :] += jnp.sum(
+                            jnp.where(oh_r, rw, 0.0), axis=1,
+                            keepdims=True)                        # [v, 1]
+            return carry
+
+        jax.lax.fori_loop(0, NC, chunk_body, 0)
+
+        # ---- table update (apply_hist_updates semantics) in ONE
+        # full-table pass, with the rowmax vector refreshed in the same
+        # pass — the only O(v*v) work per merge.  dr accumulated as a
+        # column; one identity matmul transposes it to row layout
+        # (Mosaic cannot reshape/transpose across sublanes and lanes).
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (v, v), 0)
+        cols2 = jax.lax.broadcasted_iota(jnp.int32, (v, v), 1)
+        dli = dl_ref[:].astype(jnp.int32)                          # [v, 1]
+        ident = (rows2 == cols2).astype(jnp.float32)
+        dri = jax.lax.dot_general(
+            dr_ref[:], ident, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)  # [1, v]
+        h2 = (hist_ref[:]
+              + (jnp.where(cols2 == a, -1, 0)
+                 + jnp.where(cols2 == new, 1, 0)) * dli
+              + (jnp.where(rows2 == b, -1, 0)
+                 + jnp.where(rows2 == new, 1, 0)) * dri)
+        h2 = jnp.where((rows2 == a) & (cols2 == b), 0, h2)
+        hist_ref[:] = h2
+        rowmax_s[:] = jnp.max(h2, axis=1, keepdims=True)
+
+
+def make_fused_train(v: int, L: int, NC: int, steps: int,
+                     fc: int = CHUNK, interpret: bool = False):
+    """One pallas_call = `steps` greedy merges.
+
+    fused(tw3, wc3, hist, scal) -> (tw3', hist', mrows)
+
+    tw3 int16[NC, L, CHUNK]; wc3 int32[NC, 1, CHUNK]; hist int32[v, v];
+    scal int32[5] = (unk_id, min_pair_freq, n_done, init_done,
+    steps_allowed — merges this call may still perform, caps the grid).
+    mrows int32[steps * 8, 128]: step k's record lives at row 8k, lanes
+    (a, b, freq, did_merge); rows after exhaustion have did_merge == 0
+    (the 8-row depth satisfies the (8, 128) int32 block tiling).
+    """
+    kernel = partial(_fused_kernel, v, L, NC, fc)
+
+    @jax.jit
+    def fused(tw3, wc3, hist, scal):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(steps,),
+                in_specs=[
+                    pl.BlockSpec((NC, 1, fc), lambda i, s: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),       # weights
+                    pl.BlockSpec(memory_space=pl.ANY),           # tw (HBM)
+                    pl.BlockSpec(memory_space=pl.ANY),           # hist (HBM)
+                ],
+                out_specs=[
+                    pl.BlockSpec((NC, L, fc), lambda i, s: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((v, v), lambda i, s: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, 128), lambda i, s: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                scratch_shapes=[
+                    pltpu.SMEM((1,), jnp.int32),                 # done
+                    pltpu.VMEM((v, 1), jnp.int32),               # rowmax
+                    pltpu.VMEM((v, 1), jnp.float32),             # dl
+                    pltpu.VMEM((v, 1), jnp.float32),             # dr
+                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((NC, L, fc), jnp.int16),
+                jax.ShapeDtypeStruct((v, v), jnp.int32),
+                jax.ShapeDtypeStruct((steps * 8, 128), jnp.int32),
+            ],
+            # args order: scal, wc3, tw3, hist
+            input_output_aliases={2: 0, 3: 1},
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                has_side_effects=True),
+        )(scal, wc3, tw3, hist)
+
+    return fused
+
+
+def _fused_vmem_bytes(v: int, L: int, NC: int, fc: int) -> int:
+    """Resident VMEM estimate: corpus + weights (sublane-padded to 8) +
+    hist + dl scratch (lane-padded to 128) + ~3 MB of transients."""
+    return (NC * L * fc * 2 + NC * 8 * fc * 4 + v * v * 4
+            + v * 128 * 4 + 3 * 2**20)
+
+
+FUSED_CHUNK = 512     # lane width of the fused kernel's in-VMEM chunks
+FUSED_VMEM_BUDGET = 12 * 2**20
+
+
+def _hist_from_3d(tw3, wc3, unk_id, v: int):
+    """Initial pair table from the [NC, L, fc] layout (adjacency is
+    along axis 1 within each chunk column) — init_hist semantics."""
+    t = tw3.astype(jnp.int32)
+    nxt = jnp.roll(t, -1, axis=1).at[:, -1].set(PAD)
+    w = jnp.broadcast_to(wc3, t.shape)
+    valid = (t >= 0) & (nxt >= 0) & (t != unk_id) & (nxt != unk_id)
+    key = jnp.where(valid, t * v + nxt, v * v).reshape(-1)
+    cnt = jnp.where(valid, w, 0).reshape(-1)
+    hist = jnp.zeros(v * v + 1, jnp.int32).at[key].add(cnt, mode="drop")
+    return hist[:-1].reshape(v, v)
+
+
+def fused_hist_train(c: HistCorpus, v: int, *, target_merges: int,
+                     unk_id: int, min_pair_freq: int,
+                     steps_per_call: int, interpret: bool = False,
+                     progress_cb=None, _cache={}):
+    """Drive make_fused_train to target_merges; returns a HistTrainState
+    (corpus back in [L, W] int32 layout) or None if it does not fit.
+
+    The whole first call — initial pair count, every merge, and the
+    16-byte-per-merge record slice — is ONE device dispatch: through a
+    tunneled TPU each host<->device round-trip costs ~30 ms, so the
+    driver is built around exactly one upload, one dispatch, and one
+    tiny readback in the common (single-call) case."""
+    L, W = c.tw.shape
+    fc = FUSED_CHUNK
+    W2 = -(-W // fc) * fc
+    NC = W2 // fc
+    if L % 8 or _fused_vmem_bytes(v, L, NC, fc) > FUSED_VMEM_BUDGET:
+        return None
+    steps = max(1, min(steps_per_call, target_merges))
+    key = ("fused", v, L, NC, steps, interpret)
+    if key not in _cache:
+        fused = make_fused_train(v, L, NC, steps, fc=fc,
+                                 interpret=interpret)
+
+        @jax.jit
+        def first_call(tw3, wc3, scal):
+            hist = _hist_from_3d(tw3, wc3, scal[0], v)
+            tw3o, histo, mrows = fused(tw3, wc3, hist, scal)
+            return tw3o, histo, mrows[::8, :4]
+
+        @jax.jit
+        def cont_call(tw3, wc3, hist, scal):
+            tw3o, histo, mrows = fused(tw3, wc3, hist, scal)
+            return tw3o, histo, mrows[::8, :4]
+
+        _cache[key] = (first_call, cont_call)
+    first_call, cont_call = _cache[key]
+
+    # 3D layout built host-side: one upload of exactly what the kernel
+    # reads (int16 tokens + int32 per-column weights)
+    tw_np = np.asarray(c.tw)
+    wc_np = np.asarray(c.wcount)
+    if W2 != W:   # pad columns: PAD tokens, zero weight
+        tw_np = np.pad(tw_np, ((0, 0), (0, W2 - W)),
+                       constant_values=PAD)
+        wc_np = np.pad(wc_np, ((0, 0), (0, W2 - W)))
+    tw3 = jnp.asarray(np.ascontiguousarray(
+        tw_np.reshape(L, NC, fc).transpose(1, 0, 2)))
+    wc3 = jnp.asarray(np.ascontiguousarray(
+        wc_np.reshape(1, NC, fc).transpose(1, 0, 2)))
+
+    merges_np = []
+    freqs_np = []
+    done = 0
+    hist = None
+    while len(merges_np) < target_merges and not done:
+        allowed = target_merges - len(merges_np)
+        scal = jnp.array([unk_id, min_pair_freq, len(merges_np), done,
+                          allowed], jnp.int32)
+        if hist is None:
+            tw3, hist, recs = first_call(tw3, wc3, scal)
+        else:
+            tw3, hist, recs = cont_call(tw3, wc3, hist, scal)
+        rows = np.asarray(recs)             # 16 bytes per merge step
+        did = rows[:, 3] != 0
+        n_new = int(did.sum())
+        if n_new < min(len(rows), allowed):
+            done = 1
+        merges_np.extend(rows[did, 0:2].tolist())
+        freqs_np.extend(rows[did, 2].tolist())
+        if progress_cb is not None:
+            progress_cb(np.asarray(merges_np, np.int32).reshape(-1, 2),
+                        np.asarray(freqs_np, np.int32))
+        if n_new == 0:
+            break
+
+    n = len(merges_np)
+    # stays on device: [NC, L, C] -> [L, W]; materialized only if the
+    # caller extracts the final corpus (the tunnel D2H is the slow part)
+    tw = jnp.transpose(tw3, (1, 0, 2)).reshape(L, W2)[:, :W]
+    return HistTrainState(
+        corpus=HistCorpus(tw, c.wcount),
+        hist=hist,
+        merges=jnp.asarray(np.asarray(merges_np, np.int32).reshape(n, 2)),
+        merge_freqs=jnp.asarray(np.asarray(freqs_np, np.int32)),
+        n_merges=jnp.int32(n),
+        done=jnp.bool_(bool(done)),
+    )
+
+
+# ---------------------------------------------------------------------
 # training loop
 # ---------------------------------------------------------------------
 
@@ -531,7 +853,8 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
                *, target_merges: int, unk_id: int = -1,
                min_pair_freq: int = 2, max_word_len: int = 64,
                max_steps_per_call: int = 512, interpret: bool = False,
-               sparse: bool = False, progress_cb=None, _cache={}):
+               sparse: bool = False, progress_cb=None,
+               lazy_final: bool = False, _cache={}):
     # sparse (chunk-skipping, manual DMA) measured SLOWER than the dense
     # double-buffered pipeline at bench scale (1.85s vs 1.14s for 512
     # merges): early merges touch every chunk and the manual copies
@@ -547,11 +870,20 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
     if not _delta_mass_safe(np.asarray(c.wcount), c.tw.shape[0]):
         return None   # f32 delta partial sums could round; flat engine
     L, W = c.tw.shape
+    ts = None
     if sparse:
         ts = _sparse_drive(c, v, unk_id, min_pair_freq, target_merges,
                            max_steps_per_call, interpret, _cache,
                            progress_cb)
-    else:
+    if ts is None and not sparse:
+        # fastest path: the whole merge loop in one kernel, table and
+        # corpus resident in VMEM (zero HBM traffic per merge)
+        ts = fused_hist_train(
+            c, v, target_merges=target_merges, unk_id=unk_id,
+            min_pair_freq=min_pair_freq,
+            steps_per_call=max_steps_per_call, interpret=interpret,
+            progress_cb=progress_cb, _cache=_cache)
+    if ts is None:
         ts = hist_train_init(c, unk_id, max(target_merges, 1), v)
         ts = ts._replace(corpus=HistCorpus(
             ts.corpus.tw.astype(jnp.int16), ts.corpus.wcount))
@@ -572,15 +904,24 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
                     or n_after == n_before:
                 break
     n = int(ts.n_merges)
-    tw = np.asarray(ts.corpus.tw)
-    n_real_words = int(word_id[-1]) + 1   # padding columns are beyond
-    cols = (tw >= 0).T                    # [W, L]
-    final_tokens = tw.T[cols]
-    final_word_id = np.repeat(np.arange(tw.shape[1], dtype=np.int32),
-                              cols.sum(1))
-    keep = final_word_id < n_real_words
-    return (np.asarray(ts.merges)[:n], np.asarray(ts.merge_freqs)[:n],
-            final_tokens[keep].astype(np.int32), final_word_id[keep])
+    final_tw = ts.corpus.tw   # possibly still on device (fused path)
+
+    def final_fn():
+        """Materialize the final merged corpus (one D2H transfer)."""
+        tw = np.asarray(final_tw)
+        n_real_words = int(word_id[-1]) + 1   # padding columns beyond
+        cols = (tw >= 0).T                    # [W, L]
+        final_tokens = tw.T[cols]
+        final_word_id = np.repeat(np.arange(tw.shape[1], dtype=np.int32),
+                                  cols.sum(1))
+        keep = final_word_id < n_real_words
+        return (final_tokens[keep].astype(np.int32), final_word_id[keep])
+
+    merges = np.asarray(ts.merges)[:n]
+    freqs = np.asarray(ts.merge_freqs)[:n]
+    if lazy_final:
+        return merges, freqs, final_fn
+    return (merges, freqs, *final_fn())
 
 
 def _sparse_drive(c: HistCorpus, v: int, unk_id, min_pair_freq,

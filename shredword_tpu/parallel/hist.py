@@ -54,7 +54,7 @@ def shard_layout(tokens: np.ndarray, word_id: np.ndarray,
     unit = n_shards * bpe_hist.CHUNK
     W2 = -(-W // unit) * unit
     if W2 != W:
-        tw = np.full((L, W2), bpe_hist.PAD, np.int32)
+        tw = np.full((L, W2), bpe_hist.PAD, np.int16)
         tw[:, :W] = np.asarray(c.tw)
         wc = np.zeros((1, W2), np.int32)
         wc[:, :W] = np.asarray(c.wcount)

@@ -110,3 +110,67 @@ def test_layout_fallback_for_long_words():
                               target_merges=4, max_word_len=64,
                               interpret=True)
     assert out is None
+
+
+# ---------------------------------------------------------------------
+# fused whole-training kernel (hist + corpus resident in VMEM)
+# ---------------------------------------------------------------------
+
+def _wc_word(word_id, wcount):
+    return wcount[np.searchsorted(word_id, np.arange(word_id[-1] + 1))]
+
+
+def test_fused_matches_while_loop_engine():
+    """The fused kernel (one pallas_call for the whole merge loop) must
+    produce bit-identical merges/freqs/final corpus to the while_loop
+    engine it replaces."""
+    tokens, word_id, wcount = _rand_corpus(7, n_words=600, alpha=8)
+    wcw = _wc_word(word_id, wcount)
+    out_f = bpe_hist.hist_train(tokens, word_id, wcw, target_merges=40,
+                                unk_id=-1, min_pair_freq=2, interpret=True)
+    saved = bpe_hist.FUSED_VMEM_BUDGET
+    bpe_hist.FUSED_VMEM_BUDGET = 0       # force the while_loop fallback
+    try:
+        out_w = bpe_hist.hist_train(tokens, word_id, wcw, target_merges=40,
+                                    unk_id=-1, min_pair_freq=2,
+                                    interpret=True, _cache={})
+    finally:
+        bpe_hist.FUSED_VMEM_BUDGET = saved
+    for a, b in zip(out_f, out_w):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_chunked_driving_matches_single_call():
+    """steps_per_call smaller than the target must not change results
+    (resume via n_done/init_done scalars) nor overshoot the target."""
+    tokens, word_id, wcount = _rand_corpus(8, n_words=600, alpha=8)
+    wcw = _wc_word(word_id, wcount)
+    one = bpe_hist.hist_train(tokens, word_id, wcw, target_merges=40,
+                              unk_id=-1, min_pair_freq=2, interpret=True)
+    chunked = bpe_hist.hist_train(tokens, word_id, wcw, target_merges=40,
+                                  unk_id=-1, min_pair_freq=2,
+                                  interpret=True, max_steps_per_call=7,
+                                  _cache={})
+    assert len(chunked[0]) <= 40
+    for a, b in zip(one, chunked):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_exhaustion_and_lazy_final():
+    """min_pair_freq too high -> zero merges; lazy_final defers the
+    corpus extraction behind a callable."""
+    tokens, word_id, wcount = _rand_corpus(9)
+    wcw = _wc_word(word_id, wcount)
+    out = bpe_hist.hist_train(tokens, word_id, wcw, target_merges=40,
+                              unk_id=-1, min_pair_freq=10**9,
+                              interpret=True, _cache={})
+    assert len(out[0]) == 0
+    merges, freqs, final_fn = bpe_hist.hist_train(
+        tokens, word_id, wcw, target_merges=10, unk_id=-1,
+        min_pair_freq=2, interpret=True, lazy_final=True)
+    eager = bpe_hist.hist_train(tokens, word_id, wcw, target_merges=10,
+                                unk_id=-1, min_pair_freq=2, interpret=True)
+    np.testing.assert_array_equal(merges, eager[0])
+    ftok, fwid = final_fn()
+    np.testing.assert_array_equal(ftok, eager[2])
+    np.testing.assert_array_equal(fwid, eager[3])
