@@ -502,27 +502,46 @@ def _fused_kernel(v: int, L: int, NC: int, fc: int, scal_ref, w_ref,
                 wsel = sel * ww
                 wl = jnp.where((lval >= 0) & (lval != unk), wsel, 0)
                 wr = jnp.where((rval >= 0) & (rval != unk), wsel, 0)
-                # Per-row weighted histograms as masked VPU lane-reduces
-                # (MXU one-hot matvecs measured ~5x slower: the tiny N
-                # dimension leaves the systolic array idle).  Both sides
-                # accumulate as [v, 1] columns; the right side is
-                # transposed once per merge in the update.
+                # Slot collapse: partition selected positions by their
+                # per-column match ordinal (1st/2nd/... match in the
+                # word), giving [1, fc] value/weight vectors per slot —
+                # one O(v*fc) histogram body per ACTIVE slot (usually 1)
+                # instead of one per matching ROW (~4).  Histograms run
+                # as masked VPU lane-reduces (MXU one-hot matvecs
+                # measured ~5x slower: tiny-N systolic underutilization);
+                # both sides accumulate as [v, 1] columns and the right
+                # side is transposed once per merge in the update.
+                cs = sel
+                sh = 1
+                while sh < L:                    # inclusive prefix sum
+                    r = pltpu.roll(cs, shift=sh, axis=0)
+                    rowi = jax.lax.broadcasted_iota(jnp.int32,
+                                                    (L, fc), 0)
+                    cs = cs + jnp.where(rowi >= sh, r, 0)
+                    sh *= 2
                 iota_vc = jax.lax.broadcasted_iota(jnp.int32, (v, fc), 0)
-                for l in range(L):
-                    @pl.when(jnp.any(sel[l] != 0))
-                    def _(l=l):
-                        lw = jnp.broadcast_to(
-                            wl[l].astype(jnp.float32)[None, :], (v, fc))
-                        rw = jnp.broadcast_to(
-                            wr[l].astype(jnp.float32)[None, :], (v, fc))
-                        oh_l = iota_vc == lval[l][None, :]        # [v, C]
+                for k in range(L // 2):
+                    slot = (sel != 0) & (cs == k + 1)
+                    @pl.when(jnp.any(slot))
+                    def _(slot=slot):
+                        lv = jnp.sum(jnp.where(slot, lval, 0), axis=0,
+                                     keepdims=True)               # [1, C]
+                        lw = jnp.sum(jnp.where(slot, wl, 0), axis=0,
+                                     keepdims=True)
+                        rv = jnp.sum(jnp.where(slot, rval, 0), axis=0,
+                                     keepdims=True)
+                        rw = jnp.sum(jnp.where(slot, wr, 0), axis=0,
+                                     keepdims=True)
+                        lwb = jnp.broadcast_to(
+                            lw.astype(jnp.float32), (v, fc))
+                        rwb = jnp.broadcast_to(
+                            rw.astype(jnp.float32), (v, fc))
                         dl_ref[:, :] += jnp.sum(
-                            jnp.where(oh_l, lw, 0.0), axis=1,
+                            jnp.where(iota_vc == lv, lwb, 0.0), axis=1,
                             keepdims=True)                        # [v, 1]
-                        oh_r = iota_vc == rval[l][None, :]
                         dr_ref[:, :] += jnp.sum(
-                            jnp.where(oh_r, rw, 0.0), axis=1,
-                            keepdims=True)                        # [v, 1]
+                            jnp.where(iota_vc == rv, rwb, 0.0), axis=1,
+                            keepdims=True)
             return carry
 
         jax.lax.fori_loop(0, NC, chunk_body, 0)

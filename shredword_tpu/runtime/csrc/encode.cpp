@@ -152,6 +152,7 @@ std::vector<int32_t> Encoder::encode_text(const uint8_t* data,
   std::vector<int32_t> out;
   out.reserve((size_t)len / 3 + 16);
   std::unordered_map<std::string, std::vector<int32_t>> memo;
+  memo.reserve(1 << 15);
   int64_t i = 0;
   std::string key;
   while (i < len) {
@@ -159,6 +160,13 @@ std::vector<int32_t> Encoder::encode_text(const uint8_t* data,
     bool ws = is_ws(data[i]);
     while (j < len && is_ws(data[j]) == ws) j++;
     size_t chunk_len = (size_t)(j - i);
+    // single-byte chunks (most whitespace runs) need no merge loop and
+    // no memo: a lone byte encodes to itself
+    if (chunk_len == 1) {
+      out.push_back((int32_t)data[i]);
+      i = j;
+      continue;
+    }
     if (cache) {
       key.assign((const char*)data + i, chunk_len);
       auto it = memo.find(key);
