@@ -25,9 +25,10 @@ a merge of (a,b)->N at column row r destroys pair (Lval, a) and creates
 (Lval, N) with the SAME weight, where Lval is the left neighbor AFTER
 earlier occurrences in the same word merged (sel[r-2] override); ditto
 (b, Rval)/(N, Rval) with the PRE-merge right neighbor t[r+2].  One
-masked one-hot matmul per side therefore yields both the subtraction
-and the addition vector.  The merged pair's own cell is zeroed (all
-occurrences merge: greedy overlap rule leaves none behind).
+slot-collapse int32 histogram per side (see _slot_delta_accum)
+therefore yields both the subtraction and the addition vector.  The
+merged pair's own cell is zeroed (all occurrences merge: greedy
+overlap rule leaves none behind).
 
 Conformance: bit-identical merge sequences to bpe_ops.train_loop (lex
 tie-break) — enforced by differential tests on random corpora.
@@ -145,14 +146,22 @@ def _select_and_apply(tt, a, b, new, L):
     return t2, sel
 
 
-def _delta_vectors(tt, sel, a, b, new, unk, ww, v, L):
-    """Per-chunk (acc_l, acc_r) f32[1, v] delta vectors via masked
-    one-hot matmuls over the PRE-merge block.
+def _slot_delta_accum(tt, sel, ww, a, b, new, unk, v, dl_ref, dr_ref):
+    """Slot-collapse delta histograms over one PRE-merge [L, C] block:
+    accumulates each merged occurrence's left/right neighbor weights
+    (bpe_merge_batch accounting, bpe.cpp:437-470) into [v, 1] int32
+    columns.
 
-    acc_l is converted per merge to int32 by the caller; per-row f32
-    partial sums stay exact while a row's total match weight < 2^24
-    (the layout builder enforces a per-chunk mass bound — see
-    build_layout)."""
+    Selected positions are partitioned by their per-column match
+    ordinal (1st/2nd/... match in the word), giving [1, C] value/weight
+    vectors per slot — one O(v*C) histogram body per ACTIVE slot
+    (usually one) instead of one per matching ROW (~4).  Histograms run
+    as masked VPU lane-reduces in pure int32 — exact for any corpus
+    mass (an earlier MXU one-hot-matmul variant was both ~5x slower at
+    tiny N and inexact on hardware: Mosaic's default dot truncates f32
+    inputs to bf16).  Both sides accumulate as [v, 1] columns; the
+    right side is transposed once per merge by the table update."""
+    L, C = tt.shape
     sel2 = _shift_down(_shift_down(sel, 0), 0)
     t_up = _shift_down(tt, PAD)                      # t[r-1]
     lval = t_up + sel2 * (new - t_up)                # override: earlier
@@ -160,21 +169,35 @@ def _delta_vectors(tt, sel, a, b, new, unk, ww, v, L):
     wsel = sel * ww
     wl = jnp.where((lval >= 0) & (lval != unk), wsel, 0)
     wr = jnp.where((rval >= 0) & (rval != unk), wsel, 0)
-    iota_v = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, v), 1)
-    acc_l = jnp.zeros((1, v), jnp.float32)
-    acc_r = jnp.zeros((1, v), jnp.float32)
-    for l in range(L):
-        oh_l = (lval[l][:, None] == iota_v).astype(jnp.float32)
-        oh_r = (rval[l][:, None] == iota_v).astype(jnp.float32)
-        lw = wl[l].astype(jnp.float32)[None, :]
-        rw = wr[l].astype(jnp.float32)[None, :]
-        acc_l += jax.lax.dot_general(
-            lw, oh_l, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc_r += jax.lax.dot_general(
-            rw, oh_r, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    return acc_l, acc_r
+    cs = sel
+    sh = 1
+    while sh < L:                                    # inclusive prefix sum
+        r = pltpu.roll(cs, shift=sh, axis=0)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (L, C), 0)
+        cs = cs + jnp.where(rowi >= sh, r, 0)
+        sh *= 2
+    iota_vc = jax.lax.broadcasted_iota(jnp.int32, (v, C), 0)
+    for k in range(L // 2):
+        slot = (sel != 0) & (cs == k + 1)
+
+        @pl.when(jnp.any(slot))
+        def _(slot=slot):
+            lv = jnp.sum(jnp.where(slot, lval, 0), axis=0,
+                         keepdims=True)                           # [1, C]
+            lw = jnp.sum(jnp.where(slot, wl, 0), axis=0,
+                         keepdims=True)
+            rv = jnp.sum(jnp.where(slot, rval, 0), axis=0,
+                         keepdims=True)
+            rw = jnp.sum(jnp.where(slot, wr, 0), axis=0,
+                         keepdims=True)
+            lwb = jnp.broadcast_to(lw, (v, C))
+            rwb = jnp.broadcast_to(rw, (v, C))
+            dl_ref[:, :] += jnp.sum(
+                jnp.where(iota_vc == lv, lwb, 0), axis=1,
+                keepdims=True)                                    # [v, 1]
+            dr_ref[:, :] += jnp.sum(
+                jnp.where(iota_vc == rv, rwb, 0), axis=1,
+                keepdims=True)
 
 
 def apply_hist_updates(hist, a, b, new, dl, dr):
@@ -211,9 +234,7 @@ def _merge_kernel(v: int, L: int, scal_ref, t_ref, w_ref,
 
     @pl.when(n_match > 0)
     def _():
-        acc_l, acc_r = _delta_vectors(tt, sel, a, b, new, unk, ww, v, L)
-        dl_ref[:] += acc_l.astype(jnp.int32)
-        dr_ref[:] += acc_r.astype(jnp.int32)
+        _slot_delta_accum(tt, sel, ww, a, b, new, unk, v, dl_ref, dr_ref)
 
 
 def _merge_kernel_sparse(v: int, L: int, flags_ref, scal_ref,
@@ -255,10 +276,8 @@ def _merge_kernel_sparse(v: int, L: int, flags_ref, scal_ref,
             t2, sel = _select_and_apply(tt, a, b, new, L)
             nm_ref[0, 0] += jnp.sum(sel)
 
-            acc_l, acc_r = _delta_vectors(tt, sel, a, b, new, unk, ww,
-                                          v, L)
-            dl_ref[:] += acc_l.astype(jnp.int32)
-            dr_ref[:] += acc_r.astype(jnp.int32)
+            _slot_delta_accum(tt, sel, ww, a, b, new, unk, v,
+                              dl_ref, dr_ref)
 
             iota_v = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, v), 1)
             pres = jnp.zeros((1, v), jnp.int32)
@@ -318,9 +337,9 @@ def make_merge_step_sparse(v: int, L: int, W: int,
                 out_specs=[
                     pl.BlockSpec(memory_space=pl.ANY),   # tout
                     pl.BlockSpec(memory_space=pl.ANY),   # presence
-                    pl.BlockSpec((1, v), lambda i, *s: (0, 0),
+                    pl.BlockSpec((v, 1), lambda i, *s: (0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, v), lambda i, *s: (0, 0),
+                    pl.BlockSpec((v, 1), lambda i, *s: (0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, 1), lambda i, *s: (0, 0),
                                  memory_space=pltpu.SMEM),
@@ -329,8 +348,8 @@ def make_merge_step_sparse(v: int, L: int, W: int,
             out_shape=[
                 jax.ShapeDtypeStruct((L, W), jnp.int16),
                 jax.ShapeDtypeStruct((W // CHUNK, 8, v), jnp.int32),
-                jax.ShapeDtypeStruct((1, v), jnp.int32),
-                jax.ShapeDtypeStruct((1, v), jnp.int32),
+                jax.ShapeDtypeStruct((v, 1), jnp.int32),
+                jax.ShapeDtypeStruct((v, 1), jnp.int32),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ],
             # args order: flags, scal, tw, wcount, presence
@@ -341,19 +360,6 @@ def make_merge_step_sparse(v: int, L: int, W: int,
         )(flags, scal, tw, wcount, presence)
 
     return merge_step
-
-
-def _delta_mass_safe(wcount: np.ndarray, L: int) -> bool:
-    """The delta matmuls accumulate int-valued f32 per chunk-row; they
-    are exact while every row's worst-case match mass (each word can
-    match at most L//2 times per row... conservatively: the chunk's
-    total word-count mass) stays below 2^24.  Larger corpora fall back
-    to the flat engine's pure-int32 counting."""
-    wc = wcount.reshape(-1)
-    n_chunks = len(wc) // CHUNK
-    mass = wc[: n_chunks * CHUNK].reshape(n_chunks, CHUNK).sum(
-        axis=1, dtype=np.int64)
-    return bool(mass.max(initial=0) < (1 << 24))
 
 
 def build_presence(tw: np.ndarray, v: int) -> np.ndarray:
@@ -391,9 +397,9 @@ def make_merge_step(v: int, L: int, W: int, interpret: bool = False):
                 out_specs=[
                     pl.BlockSpec((L, CHUNK), lambda i, s: (0, i),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, v), lambda i, s: (0, 0),
+                    pl.BlockSpec((v, 1), lambda i, s: (0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, v), lambda i, s: (0, 0),
+                    pl.BlockSpec((v, 1), lambda i, s: (0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, 1), lambda i, s: (0, 0),
                                  memory_space=pltpu.SMEM),
@@ -401,8 +407,8 @@ def make_merge_step(v: int, L: int, W: int, interpret: bool = False):
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((L, W), jnp.int16),
-                jax.ShapeDtypeStruct((1, v), jnp.int32),
-                jax.ShapeDtypeStruct((1, v), jnp.int32),
+                jax.ShapeDtypeStruct((v, 1), jnp.int32),
+                jax.ShapeDtypeStruct((v, 1), jnp.int32),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ],
             interpret=interpret,
@@ -481,70 +487,8 @@ def _fused_kernel(v: int, L: int, NC: int, fc: int, scal_ref, w_ref,
 
     @pl.when(do)
     def _():
-        dl_ref[:] = jnp.zeros_like(dl_ref)
-        dr_ref[:] = jnp.zeros_like(dr_ref)
-
-        def chunk_body(c, carry):
-            tt = tw_ref[c].astype(jnp.int32)
-            nxt0 = _shift_up(tt, PAD)
-            mm = (tt == a) & (nxt0 == b)
-
-            @pl.when(jnp.any(mm))
-            def _():
-                t2, sel = _select_and_apply(tt, a, b, new, L)
-                tw_ref[c] = t2.astype(jnp.int16)
-                ww = w_ref[c]
-                # delta weights: identical accounting to _delta_vectors
-                sel2 = _shift_down(_shift_down(sel, 0), 0)
-                t_up = _shift_down(tt, PAD)
-                lval = t_up + sel2 * (new - t_up)
-                rval = _shift_up(_shift_up(tt, PAD), PAD)
-                wsel = sel * ww
-                wl = jnp.where((lval >= 0) & (lval != unk), wsel, 0)
-                wr = jnp.where((rval >= 0) & (rval != unk), wsel, 0)
-                # Slot collapse: partition selected positions by their
-                # per-column match ordinal (1st/2nd/... match in the
-                # word), giving [1, fc] value/weight vectors per slot —
-                # one O(v*fc) histogram body per ACTIVE slot (usually 1)
-                # instead of one per matching ROW (~4).  Histograms run
-                # as masked VPU lane-reduces (MXU one-hot matvecs
-                # measured ~5x slower: tiny-N systolic underutilization);
-                # both sides accumulate as [v, 1] columns and the right
-                # side is transposed once per merge in the update.
-                cs = sel
-                sh = 1
-                while sh < L:                    # inclusive prefix sum
-                    r = pltpu.roll(cs, shift=sh, axis=0)
-                    rowi = jax.lax.broadcasted_iota(jnp.int32,
-                                                    (L, fc), 0)
-                    cs = cs + jnp.where(rowi >= sh, r, 0)
-                    sh *= 2
-                iota_vc = jax.lax.broadcasted_iota(jnp.int32, (v, fc), 0)
-                for k in range(L // 2):
-                    slot = (sel != 0) & (cs == k + 1)
-                    @pl.when(jnp.any(slot))
-                    def _(slot=slot):
-                        lv = jnp.sum(jnp.where(slot, lval, 0), axis=0,
-                                     keepdims=True)               # [1, C]
-                        lw = jnp.sum(jnp.where(slot, wl, 0), axis=0,
-                                     keepdims=True)
-                        rv = jnp.sum(jnp.where(slot, rval, 0), axis=0,
-                                     keepdims=True)
-                        rw = jnp.sum(jnp.where(slot, wr, 0), axis=0,
-                                     keepdims=True)
-                        lwb = jnp.broadcast_to(
-                            lw.astype(jnp.float32), (v, fc))
-                        rwb = jnp.broadcast_to(
-                            rw.astype(jnp.float32), (v, fc))
-                        dl_ref[:, :] += jnp.sum(
-                            jnp.where(iota_vc == lv, lwb, 0.0), axis=1,
-                            keepdims=True)                        # [v, 1]
-                        dr_ref[:, :] += jnp.sum(
-                            jnp.where(iota_vc == rv, rwb, 0.0), axis=1,
-                            keepdims=True)
-            return carry
-
-        jax.lax.fori_loop(0, NC, chunk_body, 0)
+        _corpus_pass(v, L, NC, fc, tw_ref, w_ref, dl_ref, dr_ref,
+                     a, b, new, unk)
 
         # ---- table update (apply_hist_updates semantics) in ONE
         # full-table pass, with the rowmax vector refreshed in the same
@@ -553,11 +497,9 @@ def _fused_kernel(v: int, L: int, NC: int, fc: int, scal_ref, w_ref,
         # (Mosaic cannot reshape/transpose across sublanes and lanes).
         rows2 = jax.lax.broadcasted_iota(jnp.int32, (v, v), 0)
         cols2 = jax.lax.broadcasted_iota(jnp.int32, (v, v), 1)
-        dli = dl_ref[:].astype(jnp.int32)                          # [v, 1]
+        dli = dl_ref[:]                                            # [v, 1]
         ident = (rows2 == cols2).astype(jnp.float32)
-        dri = jax.lax.dot_general(
-            dr_ref[:], ident, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)  # [1, v]
+        dri = _col_to_row_i32(dr_ref[:], ident)                    # [1, v]
         h2 = (hist_ref[:]
               + (jnp.where(cols2 == a, -1, 0)
                  + jnp.where(cols2 == new, 1, 0)) * dli
@@ -566,6 +508,49 @@ def _fused_kernel(v: int, L: int, NC: int, fc: int, scal_ref, w_ref,
         h2 = jnp.where((rows2 == a) & (cols2 == b), 0, h2)
         hist_ref[:] = h2
         rowmax_s[:] = jnp.max(h2, axis=1, keepdims=True)
+
+
+def _col_to_row_i32(col, ident):
+    """Exact int32 [n, 1] -> [1, n] transpose: hi/lo 15-bit split, two
+    HIGHEST-precision identity dots (each part < 2^15 so the f32
+    conversion and f32x3 MXU passes are exact), recombined in int32.
+    A single default-precision dot truncates to bf16 and a single f32
+    dot rounds above 2^24."""
+    lo = (col & 0x7FFF).astype(jnp.float32)
+    hi = (col >> 15).astype(jnp.float32)
+    dims = (((0,), (0,)), ((), ()))
+    lo_t = jax.lax.dot_general(lo, ident, dims,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+    hi_t = jax.lax.dot_general(hi, ident, dims,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+    return hi_t.astype(jnp.int32) * 32768 + lo_t.astype(jnp.int32)
+
+
+def _corpus_pass(v: int, L: int, NC: int, fc: int, tw_ref, w_ref,
+                 dl_ref, dr_ref, a, b, new, unk):
+    """Shared merge-apply + delta accumulation over the VMEM-resident
+    corpus: zeroes the [v, 1] dl/dr scratch then adds each merged
+    occurrence's left/right neighbor weights (bpe_merge_batch
+    accounting, bpe.cpp:437-470)."""
+    dl_ref[:] = jnp.zeros_like(dl_ref)
+    dr_ref[:] = jnp.zeros_like(dr_ref)
+
+    def chunk_body(c, carry):
+        tt = tw_ref[c].astype(jnp.int32)
+        nxt0 = _shift_up(tt, PAD)
+        mm = (tt == a) & (nxt0 == b)
+
+        @pl.when(jnp.any(mm))
+        def _():
+            t2, sel = _select_and_apply(tt, a, b, new, L)
+            tw_ref[c] = t2.astype(jnp.int16)
+            _slot_delta_accum(tt, sel, w_ref[c], a, b, new, unk, v,
+                              dl_ref, dr_ref)
+        return carry
+
+    jax.lax.fori_loop(0, NC, chunk_body, 0)
 
 
 def make_fused_train(v: int, L: int, NC: int, steps: int,
@@ -607,8 +592,182 @@ def make_fused_train(v: int, L: int, NC: int, steps: int,
                 scratch_shapes=[
                     pltpu.SMEM((1,), jnp.int32),                 # done
                     pltpu.VMEM((v, 1), jnp.int32),               # rowmax
-                    pltpu.VMEM((v, 1), jnp.float32),             # dl
-                    pltpu.VMEM((v, 1), jnp.float32),             # dr
+                    pltpu.VMEM((v, 1), jnp.int32),               # dl
+                    pltpu.VMEM((v, 1), jnp.int32),               # dr
+                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((NC, L, fc), jnp.int16),
+                jax.ShapeDtypeStruct((v, v), jnp.int32),
+                jax.ShapeDtypeStruct((steps * 8, 128), jnp.int32),
+            ],
+            # args order: scal, wc3, tw3, hist
+            input_output_aliases={2: 0, 3: 1},
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                has_side_effects=True),
+        )(scal, wc3, tw3, hist)
+
+    return fused
+
+
+# ---------------------------------------------------------------------
+# big-vocab fused kernel: pair table in HBM, streamed per-merge update
+# ---------------------------------------------------------------------
+#
+# For v > ~1280 the [v, v] table no longer fits VMEM next to the corpus.
+# This variant keeps the table in HBM (aliased in place) and streams it
+# through a [RB, v] VMEM buffer once per merge for the update + rowmax
+# refresh; the pick still runs on the VMEM-resident rowmax vector, and
+# the corpus pass is the shared slot-collapse _corpus_pass.  Per-merge
+# HBM traffic: 2 * v * v * 4 bytes (read + write) — ~0.3 ms at v=2048.
+
+
+def _fused_kernel_big(v: int, L: int, NC: int, fc: int, RB: int,
+                      scal_ref, w_ref, t_hbm, h_in,
+                      tw_ref, h_io, mrow_ref,
+                      done_s, rowmax_s, dl_ref, dr_ref, drrow_s,
+                      rowbuf, bbuf, sem_t, sem_u, sem_b):
+    # h_in is only accessed through its alias h_io (in-place table).
+    del h_in
+    i = pl.program_id(0)
+    nb = v // RB
+
+    @pl.when(i == 0)
+    def _():
+        done_s[0] = scal_ref[3]
+        cp_t = pltpu.make_async_copy(t_hbm, tw_ref, sem_t)
+        cp_t.start()
+        cp_t.wait()
+
+        def init_blk(kb, carry):
+            cp = pltpu.make_async_copy(
+                h_io.at[pl.ds(kb * RB, RB), :], rowbuf, sem_u)
+            cp.start()
+            cp.wait()
+            rowmax_s[pl.ds(kb * RB, RB), :] = jnp.max(
+                rowbuf[:], axis=1, keepdims=True)
+            return carry
+
+        jax.lax.fori_loop(0, nb, init_blk, 0)
+
+    unk = scal_ref[0]
+    min_freq = scal_ref[1]
+    new = 256 + scal_ref[2] + i
+
+    # ---- pick from the maintained rowmax vector (same tie-break as the
+    # VMEM-resident kernel: smallest row, then smallest column)
+    rm = rowmax_s[:]                                       # [v, 1]
+    rmm = jnp.where(rm >= min_freq, rm, 0)
+    m = jnp.max(rmm)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (v, 1), 0)
+    a = jnp.min(jnp.where(rmm == m, riota, INT32_MAX))
+    do = (m > 0) & (done_s[0] == 0) & (i < scal_ref[4])
+    a = jnp.where(do, a, 0)                                # safe slice base
+    r0 = (a // 8) * 8
+    cp_b = pltpu.make_async_copy(h_io.at[pl.ds(r0, 8), :], bbuf, sem_b)
+    cp_b.start()
+    cp_b.wait()
+    blk = bbuf[:]                                          # [8, v]
+    rsel = jax.lax.broadcasted_iota(jnp.int32, (8, v), 0) == a - r0
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (8, v), 1)
+    b = jnp.min(jnp.where(rsel & (blk == m), ciota, INT32_MAX))
+    b = jnp.where(do, b, 0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    rec = (jnp.where(lane == 0, a, 0) + jnp.where(lane == 1, b, 0)
+           + jnp.where(lane == 2, m, 0)
+           + jnp.where(lane == 3, do.astype(jnp.int32), 0))
+    mrow_ref[:] = rec
+
+    @pl.when(jnp.logical_not(do))
+    def _():
+        done_s[0] = 1          # sticky: merging never revives a pair
+
+    @pl.when(do)
+    def _():
+        _corpus_pass(v, L, NC, fc, tw_ref, w_ref, dl_ref, dr_ref,
+                     a, b, new, unk)
+
+        # dr column -> row layout, 128 lanes at a time (exact identity
+        # dots; Mosaic cannot transpose across sublanes/lanes directly)
+        i128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        j128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        ident = (i128 == j128).astype(jnp.float32)
+        for k in range(v // 128):
+            db = _col_to_row_i32(dr_ref[pl.ds(k * 128, 128), :], ident)
+            drrow_s[0:1, k * 128:(k + 1) * 128] = db       # [1, 128]
+
+        # ---- streamed table update (apply_hist_updates semantics) +
+        # rowmax refresh, one [RB, v] block at a time, in place
+        dri = drrow_s[0:1, :]                              # [1, v]
+
+        def upd_blk(kb, carry):
+            rb0 = kb * RB
+            cp_in = pltpu.make_async_copy(
+                h_io.at[pl.ds(rb0, RB), :], rowbuf, sem_u)
+            cp_in.start()
+            cp_in.wait()
+            rows_b = jax.lax.broadcasted_iota(jnp.int32, (RB, v), 0) + rb0
+            cols_b = jax.lax.broadcasted_iota(jnp.int32, (RB, v), 1)
+            dlb = dl_ref[pl.ds(rb0, RB), :].astype(jnp.int32)  # [RB, 1]
+            h2 = (rowbuf[:]
+                  + (jnp.where(cols_b == a, -1, 0)
+                     + jnp.where(cols_b == new, 1, 0)) * dlb
+                  + (jnp.where(rows_b == b, -1, 0)
+                     + jnp.where(rows_b == new, 1, 0)) * dri)
+            h2 = jnp.where((rows_b == a) & (cols_b == b), 0, h2)
+            rowbuf[:] = h2
+            rowmax_s[pl.ds(rb0, RB), :] = jnp.max(h2, axis=1,
+                                                  keepdims=True)
+            cp_out = pltpu.make_async_copy(
+                rowbuf, h_io.at[pl.ds(rb0, RB), :], sem_u)
+            cp_out.start()
+            cp_out.wait()
+            return carry
+
+        jax.lax.fori_loop(0, nb, upd_blk, 0)
+
+
+def make_fused_train_big(v: int, L: int, NC: int, steps: int,
+                         fc: int = CHUNK, rb: int = 128,
+                         interpret: bool = False):
+    """make_fused_train with the pair table in HBM — same signature and
+    record format; use for 1280 < v <= 4096 (see fused_hist_train)."""
+    kernel = partial(_fused_kernel_big, v, L, NC, fc, rb)
+
+    @jax.jit
+    def fused(tw3, wc3, hist, scal):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(steps,),
+                in_specs=[
+                    pl.BlockSpec((NC, 1, fc), lambda i, s: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),       # weights
+                    pl.BlockSpec(memory_space=pl.ANY),           # tw (HBM)
+                    pl.BlockSpec(memory_space=pl.ANY),           # hist HBM
+                ],
+                out_specs=[
+                    pl.BlockSpec((NC, L, fc), lambda i, s: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),           # hist out
+                    pl.BlockSpec((8, 128), lambda i, s: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                scratch_shapes=[
+                    pltpu.SMEM((1,), jnp.int32),                 # done
+                    pltpu.VMEM((v, 1), jnp.int32),               # rowmax
+                    pltpu.VMEM((v, 1), jnp.int32),               # dl
+                    pltpu.VMEM((v, 1), jnp.int32),               # dr
+                    pltpu.VMEM((8, v), jnp.int32),               # dr row
+                    pltpu.VMEM((rb, v), jnp.int32),              # stream buf
+                    pltpu.VMEM((8, v), jnp.int32),               # b row blk
+                    pltpu.SemaphoreType.DMA(()),
                     pltpu.SemaphoreType.DMA(()),
                     pltpu.SemaphoreType.DMA(()),
                 ],
@@ -634,6 +793,14 @@ def _fused_vmem_bytes(v: int, L: int, NC: int, fc: int) -> int:
     hist + dl scratch (lane-padded to 128) + ~3 MB of transients."""
     return (NC * L * fc * 2 + NC * 8 * fc * 4 + v * v * 4
             + v * 128 * 4 + 3 * 2**20)
+
+
+def _fused_big_vmem_bytes(v: int, L: int, NC: int, fc: int,
+                          rb: int = 256) -> int:
+    """Big-variant estimate: corpus + weights + rowmax/dl/dr columns
+    (lane-padded to 128) + stream/row buffers + ~3 MB of transients."""
+    return (NC * L * fc * 2 + NC * 8 * fc * 4 + 3 * v * 128 * 4
+            + rb * v * 4 + 16 * v * 4 + 3 * 2**20)
 
 
 FUSED_CHUNK = 512     # lane width of the fused kernel's in-VMEM chunks
@@ -669,13 +836,25 @@ def fused_hist_train(c: HistCorpus, v: int, *, target_merges: int,
     fc = FUSED_CHUNK
     W2 = -(-W // fc) * fc
     NC = W2 // fc
-    if L % 8 or _fused_vmem_bytes(v, L, NC, fc) > FUSED_VMEM_BUDGET:
+    if L % 8:
+        return None
+    if _fused_vmem_bytes(v, L, NC, fc) <= FUSED_VMEM_BUDGET:
+        variant = "small"                   # table resident in VMEM
+    elif (v <= 4096
+          and _fused_big_vmem_bytes(v, L, NC, fc) <= FUSED_VMEM_BUDGET):
+        variant = "big"                     # table streamed from HBM
+    else:
         return None
     steps = max(1, min(steps_per_call, target_merges))
-    key = ("fused", v, L, NC, steps, interpret)
+    key = ("fused", variant, v, L, NC, steps, interpret)
     if key not in _cache:
-        fused = make_fused_train(v, L, NC, steps, fc=fc,
-                                 interpret=interpret)
+        if variant == "small":
+            fused = make_fused_train(v, L, NC, steps, fc=fc,
+                                     interpret=interpret)
+        else:
+            rb = 256 if (v % 256 == 0 and v <= 2048) else 128
+            fused = make_fused_train_big(v, L, NC, steps, fc=fc, rb=rb,
+                                         interpret=interpret)
 
         @jax.jit
         def first_call(tw3, wc3, scal):
@@ -793,7 +972,8 @@ def make_train_loop(v: int, L: int, W: int, *, target_merges: int,
                 scal = jnp.stack([a, b, new, unk_id]).astype(jnp.int32)
                 t2, dl, dr, _ = merge_step(ts.corpus.tw, ts.corpus.wcount,
                                            scal)
-                hist = apply_hist_updates(ts.hist, a, b, new, dl[0], dr[0])
+                hist = apply_hist_updates(ts.hist, a, b, new,
+                                          dl[:, 0], dr[:, 0])
                 merges = ts.merges.at[ts.n_merges].set(
                     jnp.stack([a, b]).astype(jnp.int32))
                 freqs = ts.merge_freqs.at[ts.n_merges].set(
@@ -843,7 +1023,8 @@ def make_train_loop_sparse(v: int, L: int, W: int, *, target_merges: int,
                 flags = presence[:, 0, a] * presence[:, 0, b]
                 t2, pres2, dl, dr, _ = merge_step(tw, wcount, presence,
                                                   flags, scal)
-                hist = apply_hist_updates(hist, a, b, new, dl[0], dr[0])
+                hist = apply_hist_updates(hist, a, b, new,
+                                          dl[:, 0], dr[:, 0])
                 merges = merges.at[n_merges].set(
                     jnp.stack([a, b]).astype(jnp.int32))
                 freqs = freqs.at[n_merges].set(cnt.astype(jnp.int32))
@@ -884,10 +1065,8 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
     v = -(-v // 128) * 128
     c = build_layout(tokens, word_id, wcount, max_word_len,
                      min_len=16)   # int16 storage: (16, 128) min tile
-    if c is None or v > 2048:
+    if c is None or v > 4096:      # > 4096: flat engine (sparse counts)
         return None
-    if not _delta_mass_safe(np.asarray(c.wcount), c.tw.shape[0]):
-        return None   # f32 delta partial sums could round; flat engine
     L, W = c.tw.shape
     ts = None
     if sparse:

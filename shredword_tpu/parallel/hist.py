@@ -6,7 +6,8 @@ Layout: the by-word matrix [L, W] shards along the word axis over the
 merge step:
 
   1. LOCAL  : fused kernel pass on this shard (match + select +
-              compact + delta matmuls) -> dl, dr int32[V]
+              compact + slot-collapse delta histograms) -> dl, dr
+              int32[V]
   2. REDUCE : ``psum`` of the two delta vectors over ICI (integer —
               bit-deterministic regardless of shard order)
   3. APPLY  : replicated hist row/col updates + argmax — identical on
@@ -90,8 +91,8 @@ def build_sharded_hist_loop(mesh: Mesh, v: int, L: int, W: int, *,
                 new = 256 + n_merges
                 scal = jnp.stack([a, b, new, unk_id]).astype(jnp.int32)
                 t2, dl, dr, _ = merge_step(tw, wc, scal)
-                dl = jax.lax.psum(dl[0], axis)
-                dr = jax.lax.psum(dr[0], axis)
+                dl = jax.lax.psum(dl[:, 0], axis)
+                dr = jax.lax.psum(dr[:, 0], axis)
                 hist = bpe_hist.apply_hist_updates(hist, a, b, new, dl, dr)
                 merges = merges.at[n_merges].set(
                     jnp.stack([a, b]).astype(jnp.int32))
@@ -138,8 +139,6 @@ def sharded_hist_train(tokens: np.ndarray, word_id: np.ndarray,
     c = shard_layout(tokens, word_id, wcount, n_shards)
     if c is None:
         return None
-    if not bpe_hist._delta_mass_safe(np.asarray(c.wcount), c.tw.shape[0]):
-        return None   # f32 delta exactness bound (see bpe_hist)
     L, W = c.tw.shape
     hist = bpe_hist.init_hist(c, jnp.int32(unk_id), v=v)
     st = ShardedHistState(

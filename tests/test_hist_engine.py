@@ -156,6 +156,42 @@ def test_fused_chunked_driving_matches_single_call():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fused_big_variant_matches_small(monkeypatch):
+    """The HBM-streamed table variant (v > VMEM budget) must produce the
+    VMEM-resident kernel's exact merges/freqs/final corpus.  Forced by
+    making the small variant's footprint estimate overflow."""
+    tokens, word_id, wcount = _rand_corpus(11, n_words=600, alpha=8)
+    wcw = _wc_word(word_id, wcount)
+    small = bpe_hist.hist_train(tokens, word_id, wcw, target_merges=40,
+                                unk_id=-1, min_pair_freq=2,
+                                interpret=True, _cache={})
+    monkeypatch.setattr(bpe_hist, "_fused_vmem_bytes",
+                        lambda *a, **k: 1 << 60)
+    big = bpe_hist.hist_train(tokens, word_id, wcw, target_merges=40,
+                              unk_id=-1, min_pair_freq=2,
+                              interpret=True, _cache={})
+    for a, b in zip(small, big):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_big_variant_chunked_resume(monkeypatch):
+    """Big variant driven in several calls (steps_per_call < target)
+    must match its single-call result."""
+    tokens, word_id, wcount = _rand_corpus(12, n_words=400, alpha=7)
+    wcw = _wc_word(word_id, wcount)
+    monkeypatch.setattr(bpe_hist, "_fused_vmem_bytes",
+                        lambda *a, **k: 1 << 60)
+    one = bpe_hist.hist_train(tokens, word_id, wcw, target_merges=30,
+                              unk_id=-1, min_pair_freq=2,
+                              interpret=True, _cache={})
+    chunked = bpe_hist.hist_train(tokens, word_id, wcw, target_merges=30,
+                                  unk_id=-1, min_pair_freq=2,
+                                  interpret=True, max_steps_per_call=9,
+                                  _cache={})
+    for a, b in zip(one, chunked):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_exhaustion_and_lazy_final():
     """min_pair_freq too high -> zero merges; lazy_final defers the
     corpus extraction behind a callable."""
