@@ -156,6 +156,33 @@ def measure_tpu() -> tuple[float, int]:
     return run()         # measured: steady-state throughput
 
 
+def check_device_engines() -> None:
+    """Cross-check: the hist and flat engines are independent device
+    counting paths (maintained pair table + Pallas kernels vs sort-based
+    segment reduction) that must produce bit-identical models.  Guards
+    the headline metric against silent hardware numerics bugs (e.g. the
+    bf16-truncated Mosaic MXU dots this caught once already)."""
+    from shredword_tpu.models.bpe import BPETrainer
+    outs = {}
+    for eng in ("hist", "flat"):
+        t = BPETrainer(target_vocab_size=VOCAB, unk_id=-1,
+                       character_coverage=COVERAGE, min_pair_freq=MIN_FREQ,
+                       backend="tpu", engine=eng)
+        t.load_corpus(CORPUS)
+        t.train()
+        mp = f"/tmp/shred_bench/check_{eng}.model"
+        vp = f"/tmp/shred_bench/check_{eng}.vocab"
+        t.save(mp, vp)
+        t.destroy()
+        outs[eng] = (open(mp, "rb").read(), open(vp, "rb").read())
+    if outs["hist"] != outs["flat"]:
+        raise RuntimeError(
+            "device engine cross-check FAILED: hist and flat engines "
+            "disagree — the measured result cannot be trusted")
+    sys.stderr.write("[bench] device engine cross-check: hist == flat "
+                     "(model+vocab bit-identical)\n")
+
+
 def measure_encode() -> tuple[float, float]:
     """Encode MB/s (cpu native, tpu batch) on a trained model —
     side report only (BASELINE.md metric 3)."""
@@ -182,6 +209,7 @@ def main() -> None:
     else:
         ref_dt, ref_n = measure_faithful_engine()
     tpu_dt, tpu_n = measure_tpu()
+    check_device_engines()
 
     mb = raw_bytes / 1e6
     ours = mb / tpu_dt
