@@ -203,13 +203,14 @@ int64_t shred_apply_merges(void* encoder, const int32_t* tokens,
   return (int64_t)out.size();
 }
 
-// Whole-text encode (lossless whitespace chunking, native).  Returns
-// count written or -(needed).
+// Whole-text encode (lossless whitespace chunking, native, threaded for
+// large inputs; nthreads <= 0 = auto).  Returns count written or
+// -(needed).
 int64_t shred_encode_text(void* encoder, const uint8_t* data, int64_t len,
                           int use_cache, int32_t* out_ids,
-                          int64_t out_cap) {
-  auto ids = static_cast<Encoder*>(encoder)->encode_text(data, len,
-                                                         use_cache != 0);
+                          int64_t out_cap, int nthreads) {
+  auto ids = static_cast<Encoder*>(encoder)->encode_text(
+      data, len, use_cache != 0, nthreads);
   if ((int64_t)ids.size() > out_cap) return -(int64_t)ids.size();
   std::memcpy(out_ids, ids.data(), ids.size() * sizeof(int32_t));
   return (int64_t)ids.size();

@@ -48,7 +48,7 @@ static inline size_t djb2(const uint8_t* s, size_t len) {
   return h;
 }
 
-static int auto_threads(int nthreads) {
+int auto_threads(int nthreads) {
   if (nthreads > 0) return nthreads;
   int hc = (int)std::thread::hardware_concurrency();
   int n = hc - 2;  // leave headroom (policy of reference threads.cpp:13-24)

@@ -9,6 +9,7 @@
 #include "shred_native.hpp"
 
 #include <cstring>
+#include <thread>
 #include <unordered_map>
 
 namespace shred {
@@ -140,25 +141,29 @@ std::vector<int32_t> Encoder::encode_words(const uint8_t* bytes,
   return out;
 }
 
-std::vector<int32_t> Encoder::encode_text(const uint8_t* data,
-                                          int64_t len, bool cache) const {
-  // Whole-text encode with the lossless whitespace chunking of
-  // pretokenize.whitespace_keep_split: alternating word / whitespace
-  // runs, every chunk pushed through the merge loop (whitespace chunks
-  // simply have no applicable merges for whitespace-free models).
-  auto is_ws = [](uint8_t c) {
-    return c == ' ' || c == '\t' || c == '\r' || c == '\n';
-  };
+namespace {
+inline bool enc_is_ws(uint8_t c) {
+  return c == ' ' || c == '\t' || c == '\r' || c == '\n';
+}
+}  // namespace
+
+std::vector<int32_t> Encoder::encode_text_range(const uint8_t* data,
+                                                int64_t begin, int64_t end,
+                                                bool cache) const {
+  // Encode [begin, end), which the caller guarantees starts and ends at
+  // whitespace/word run boundaries: alternating word / whitespace runs,
+  // every chunk pushed through the merge loop (whitespace chunks simply
+  // have no applicable merges for whitespace-free models).
   std::vector<int32_t> out;
-  out.reserve((size_t)len / 3 + 16);
+  out.reserve((size_t)(end - begin) / 3 + 16);
   std::unordered_map<std::string, std::vector<int32_t>> memo;
   memo.reserve(1 << 15);
-  int64_t i = 0;
+  int64_t i = begin;
   std::string key;
-  while (i < len) {
+  while (i < end) {
     int64_t j = i;
-    bool ws = is_ws(data[i]);
-    while (j < len && is_ws(data[j]) == ws) j++;
+    bool ws = enc_is_ws(data[i]);
+    while (j < end && enc_is_ws(data[j]) == ws) j++;
     size_t chunk_len = (size_t)(j - i);
     // single-byte chunks (most whitespace runs) need no merge loop and
     // no memo: a lone byte encodes to itself
@@ -181,6 +186,46 @@ std::vector<int32_t> Encoder::encode_text(const uint8_t* data,
     }
     i = j;
   }
+  return out;
+}
+
+std::vector<int32_t> Encoder::encode_text(const uint8_t* data, int64_t len,
+                                          bool cache, int nthreads) const {
+  // Whole-text encode with the lossless whitespace chunking of
+  // pretokenize.whitespace_keep_split.  Large inputs split into
+  // per-thread ranges at run boundaries (a run never spans two ranges),
+  // so the concatenated result is bit-identical to the single-thread
+  // pass regardless of thread count.
+  constexpr int64_t kMinPerThread = 1 << 20;  // 1 MB
+  int nt = auto_threads(nthreads);
+  int64_t max_by_size = len / kMinPerThread;
+  if (max_by_size < (int64_t)nt) nt = (int)max_by_size;
+  if (nt < 2) return encode_text_range(data, 0, len, cache);
+
+  std::vector<int64_t> splits(nt + 1, len);
+  splits[0] = 0;
+  for (int t = 1; t < nt; t++) {
+    int64_t p = len * t / nt;
+    if (p <= splits[t - 1]) p = splits[t - 1];
+    // advance to the next run boundary
+    while (p < len && p > 0 && enc_is_ws(data[p - 1]) == enc_is_ws(data[p]))
+      p++;
+    splits[t] = p;
+  }
+  std::vector<std::vector<int32_t>> parts(nt);
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  for (int t = 0; t < nt; t++) {
+    workers.emplace_back([&, t] {
+      parts[t] = encode_text_range(data, splits[t], splits[t + 1], cache);
+    });
+  }
+  for (auto& w : workers) w.join();
+  size_t total = 0;
+  for (auto& p : parts) total += p.size();
+  std::vector<int32_t> out;
+  out.reserve(total);
+  for (auto& p : parts) out.insert(out.end(), p.begin(), p.end());
   return out;
 }
 

@@ -18,6 +18,11 @@
 
 namespace shred {
 
+// Worker-thread policy shared by the corpus loader and the encoder:
+// explicit count if > 0, else hardware_concurrency - 2 (floor 1) — the
+// reference's dormant threads.cpp:13-24 policy.  Defined in corpus.cpp.
+int auto_threads(int nthreads);
+
 // ---------------------------------------------------------------------------
 // Config (parity with reference BPEConfig, bpe.h:43-48; defaulting rules
 // mirror create_trainer, bpe.cpp:124-130).
@@ -182,9 +187,14 @@ class Encoder {
                        std::vector<int32_t>* out) const;
 
   // Whole-text encode: lossless whitespace chunking + memoized word
-  // encode in one native pass.
+  // encode in one native pass; large inputs fan out over worker threads
+  // split at run boundaries (bit-identical to single-thread).
   std::vector<int32_t> encode_text(const uint8_t* data, int64_t len,
-                                   bool cache) const;
+                                   bool cache, int nthreads = 0) const;
+
+  // One thread's share: encode [begin, end), both at run boundaries.
+  std::vector<int32_t> encode_text_range(const uint8_t* data, int64_t begin,
+                                         int64_t end, bool cache) const;
 
   int64_t n_merges() const { return n_merges_; }
 

@@ -93,7 +93,7 @@ def _declare(L: ctypes.CDLL) -> None:
                                      ctypes.c_void_p]
     L.shred_apply_merges.restype = i64
     L.shred_encode_text.argtypes = [p, ctypes.c_char_p, i64, ctypes.c_int,
-                                    ctypes.c_void_p, i64]
+                                    ctypes.c_void_p, i64, ctypes.c_int]
     L.shred_encode_text.restype = i64
 
     L.shred_normalize.argtypes = [ctypes.c_char_p, i64, ctypes.c_void_p, i64]
@@ -300,17 +300,20 @@ class NativeEncoder:
                                          _ptr(out), -n)
         return out[:n].copy()
 
-    def encode_text(self, data: bytes, cache: bool = True) -> np.ndarray:
+    def encode_text(self, data: bytes, cache: bool = True,
+                    nthreads: int = 0) -> np.ndarray:
         """Whole-text encode: native lossless whitespace chunking +
-        memoized word encode (one pass, no Python per-chunk work)."""
+        memoized word encode (one pass, no Python per-chunk work).
+        Large inputs fan out over worker threads split at whitespace-run
+        boundaries — bit-identical to single-thread; nthreads<=0 auto."""
         cap = max(len(data), 16)
         out = np.empty(cap, dtype=np.int32)
         n = lib().shred_encode_text(self._h, data, len(data), int(cache),
-                                    _ptr(out), cap)
+                                    _ptr(out), cap, nthreads)
         if n < 0:
             out = np.empty(-n, dtype=np.int32)
             n = lib().shred_encode_text(self._h, data, len(data),
-                                        int(cache), _ptr(out), -n)
+                                        int(cache), _ptr(out), -n, nthreads)
         return out[:n].copy()
 
     def apply_merges(self, tokens: np.ndarray, offsets: np.ndarray

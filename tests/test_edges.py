@@ -123,3 +123,29 @@ def test_long_word_falls_back_to_flat_engine(tmp_path):
     t.load_corpus(str(p))
     n = t.train()
     assert n > 0  # the 200-byte word forces the flat engine; still works
+
+def test_threaded_encode_text_thread_invariance(tmp_path):
+    """The threaded whole-text native encode must be bit-identical to
+    the single-thread pass for any thread count and split position
+    (ranges split only at whitespace-run boundaries)."""
+    import numpy as np
+
+    from shredword_tpu.runtime.native import NativeEncoder
+
+    merges = np.array([[104, 101], [256, 108], [257, 108], [258, 111],
+                       [32, 32], [260, 260]], np.int32)  # hello + ws runs
+    enc = NativeEncoder(merges)
+    texts = [
+        b"hello world " * 200_000,            # memo-heavy, many runs
+        b"ab" * 300_000,                      # single giant run, no ws
+        b"   \t\n  " * 150_000,               # whitespace-only runs
+        "héllo wörld ✓ ".encode() * 120_000,  # multi-byte utf-8
+        b"",
+        b"x",
+    ]
+    for data in texts:
+        base = enc.encode_text(data, nthreads=1)
+        for nt in (2, 3, 7):
+            np.testing.assert_array_equal(
+                base, enc.encode_text(data, nthreads=nt))
+    enc.free()
