@@ -80,6 +80,9 @@ class BPETrainer:
 
     @_final_word_id.setter
     def _final_word_id(self, value) -> None:
+        # clear the lazy materializer in BOTH setters: assigning either
+        # array must not be silently overwritten by a later _final_fn run
+        self._final_fn = None
         self.__final_word_id = value
 
     def _materialize_final(self) -> None:
@@ -228,6 +231,10 @@ class BPETrainer:
         target = cfg.target_merges
         if max_merges is not None:
             target = min(target, len(self._merges) + max_merges)
+        # Device engines count in int32 (the reference accumulates in
+        # uint64, bpe.cpp:329-355).  Any single pair's weighted count is
+        # bounded by the total corpus token mass, which is bounded by
+        # total_raw_bytes, so raw bytes < 2^31 guarantees no overflow.
         if int(self._arrays.counts.max(initial=0)) >= 2**31 or \
                 self._arrays.total_raw_bytes >= 2**31:
             raise TrainingError(

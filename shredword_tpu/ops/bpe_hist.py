@@ -1077,7 +1077,7 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
         ts = _sparse_drive(c, v, unk_id, min_pair_freq, target_merges,
                            max_steps_per_call, interpret, _cache,
                            progress_cb)
-    if ts is None and not sparse:
+    if ts is None:   # sparse drive declined -> still try the fastest path
         # fastest path: the whole merge loop in one kernel, table and
         # corpus resident in VMEM (zero HBM traffic per merge)
         ts = fused_hist_train(

@@ -30,6 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import bpe_hist
+from . import train
 
 
 class ShardedHistState(NamedTuple):
@@ -146,8 +147,8 @@ def sharded_hist_train(tokens: np.ndarray, word_id: np.ndarray,
         merges=jnp.zeros((max(target_merges, 1), 2), jnp.int32),
         merge_freqs=jnp.zeros(max(target_merges, 1), jnp.int32),
         n_merges=jnp.int32(0), done=jnp.bool_(False))
-    key = (id(mesh), v, L, W, target_merges, max_steps_per_call, axis,
-           interpret)
+    key = (train.mesh_key(mesh), v, L, W, target_merges,
+           max_steps_per_call, axis, interpret)
     if key not in _cache:
         _cache[key] = build_sharded_hist_loop(
             mesh, v, L, W, target_merges=target_merges,

@@ -34,6 +34,14 @@ from ..ops import bpe_ops
 INT32_MAX = bpe_ops.INT32_MAX
 
 
+def mesh_key(mesh: Mesh) -> tuple:
+    """Stable cache key from mesh contents (axis names + device ids).
+    id(mesh) could alias a GC'd-and-reallocated mesh with a stale
+    compiled executable."""
+    return (tuple(mesh.axis_names), mesh.devices.shape,
+            tuple(d.id for d in mesh.devices.flat))
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -199,7 +207,7 @@ def sharded_train_loop(mesh: Mesh, ts: ShardedTrainState, unk_id: int,
                        min_pair_freq: int, *, target_merges: int,
                        max_steps: int, axis: str = "data",
                        _cache={}) -> ShardedTrainState:
-    key = (id(mesh), target_merges, max_steps, axis,
+    key = (mesh_key(mesh), target_merges, max_steps, axis,
            ts.corpus.tokens.shape)
     if key not in _cache:
         _cache[key] = build_sharded_train_loop(
