@@ -49,8 +49,24 @@ def _source_hash() -> str:
     return h.hexdigest()[:16]
 
 
+def _out_dir() -> str:
+    """Directory for the built library: next to the sources when
+    writable (source checkout, user pip install); otherwise a per-user
+    cache dir (system installs with a read-only site-packages)."""
+    if os.access(_THIS_DIR, os.W_OK):
+        return _THIS_DIR
+    cache = os.environ.get("SHRED_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "shredword_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return cache
+
+
 def lib_path() -> str:
-    return os.path.join(_THIS_DIR, f"libshred_native-{_source_hash()}.so")
+    name = f"libshred_native-{_source_hash()}.so"
+    here = os.path.join(_THIS_DIR, name)
+    if os.path.exists(here):    # wheel-built or previously built in-tree
+        return here
+    return os.path.join(_out_dir(), name)
 
 
 def build(verbose: bool = False) -> str:
@@ -58,9 +74,10 @@ def build(verbose: bool = False) -> str:
     out = lib_path()
     if os.path.exists(out):
         return out
+    out_dir = os.path.dirname(out)
     srcs = [os.path.join(CSRC_DIR, s) for s in SOURCES]
     # build to a temp file then rename: atomic under concurrent builders
-    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_THIS_DIR)
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=out_dir)
     os.close(fd)
     cmd = [CXX, *CXXFLAGS, "-o", tmp, *srcs]
     try:
@@ -76,11 +93,11 @@ def build(verbose: bool = False) -> str:
     if verbose:
         print(f"[shredword_tpu] built native runtime: {out}")
     # clean stale builds
-    for name in os.listdir(_THIS_DIR):
+    for name in os.listdir(out_dir):
         if name.startswith("libshred_native-") and name.endswith(".so"):
-            if os.path.join(_THIS_DIR, name) != out:
+            if os.path.join(out_dir, name) != out:
                 try:
-                    os.unlink(os.path.join(_THIS_DIR, name))
+                    os.unlink(os.path.join(out_dir, name))
                 except OSError:
                     pass
     return out
