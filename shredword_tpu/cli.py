@@ -32,6 +32,10 @@ def _add_train(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--tie-break", choices=("lex", "faithful"),
                    default="lex")
     p.add_argument("--max-merges", type=int, default=None)
+    p.add_argument("--shards", type=int, default=0,
+                   help="data-parallel corpus shards over the device "
+                        "mesh (0 = single device; merge sequence stays "
+                        "bit-identical)")
     p.add_argument("--checkpoint-path", default=None,
                    help="write a resumable checkpoint here during training")
     p.add_argument("--checkpoint-every", type=int, default=0,
@@ -105,7 +109,8 @@ def main(argv: list[str] | None = None) -> int:
                        min_pair_freq=args.min_pair_freq,
                        backend=args.backend, tie_break=args.tie_break,
                        checkpoint_path=args.checkpoint_path,
-                       checkpoint_every=args.checkpoint_every)
+                       checkpoint_every=args.checkpoint_every,
+                       shards=args.shards)
         t.load_corpus(args.corpus)
         if args.resume:
             n0 = t.load_checkpoint(args.resume)

@@ -37,6 +37,10 @@ class BPEConfig:
                                         # flat = sort-based stream)
     checkpoint_path: str | None = None  # mid-training checkpoint file
     checkpoint_every: int = 0           # merges between checkpoints (0=off)
+    shards: int = 0                     # data-parallel corpus shards over a
+                                        # device mesh (0/1 = single device;
+                                        # merge sequence stays bit-identical
+                                        # to single-device training)
 
     def normalized(self) -> "BPEConfig":
         """Apply reference defaulting rules (bpe.cpp:124-130)."""
@@ -61,6 +65,8 @@ class BPEConfig:
             raise ConfigError(f"unknown backend {self.backend!r}")
         if self.engine not in ("auto", "hist", "flat"):
             raise ConfigError(f"unknown engine {self.engine!r}")
+        if self.shards < 0:
+            raise ConfigError("shards must be >= 0")
         return self.normalized()
 
     @property

@@ -44,11 +44,14 @@ def _bucket(n: int) -> int:
 class BPETrainer:
     def __init__(self, target_vocab_size: int = 8192, unk_id: int = 0,
                  character_coverage: float = 0.995,
-                 min_pair_freq: int = 2000, **kwargs):
+                 min_pair_freq: int = 2000, mesh=None, **kwargs):
         self.config = BPEConfig(
             target_vocab_size=target_vocab_size, unk_id=unk_id,
             character_coverage=character_coverage,
             min_pair_freq=min_pair_freq, **kwargs).validate()
+        # jax.sharding.Mesh for data-parallel training; alternatively set
+        # shards=N in the config to build a 1-D mesh over local devices
+        self.mesh = mesh
         self._corpus: native.NativeCorpus | None = None
         self._faithful: native.FaithfulTrainer | None = None
         self._arrays: native.CorpusArrays | None = None
@@ -249,6 +252,9 @@ class BPETrainer:
             log.info("Training completed: 0 merges performed.")
             return 0
 
+        if self.mesh is not None or cfg.shards > 1:
+            return self._train_sharded(tokens, word_id, wcount, target)
+
         if cfg.engine in ("auto", "hist") and len(self._merges) == 0:
             out = self._train_hist(tokens, word_id, target)
             if out is not None:
@@ -334,6 +340,73 @@ class BPETrainer:
         log.info("Training completed: %d merges performed. (%.2f s)",
                  n_merges - n_prev, t.elapsed)
         return n_merges - n_prev
+
+    def _train_sharded(self, tokens, word_id, wcount, target) -> int:
+        """Data-parallel training over a device mesh (parallel/hist.py
+        psum-delta path, falling back to the flat all-gather path).
+        Merge sequences are bit-identical to single-device training
+        (tests/test_parallel.py)."""
+        import jax
+
+        from ..parallel import make_mesh, sharded_hist_train, sharded_train
+
+        cfg = self.config
+        if len(self._merges):
+            raise TrainingError(
+                "sharded training does not support checkpoint resume; "
+                "resume on a single device (shards=0) or retrain")
+        mesh = self.mesh if self.mesh is not None else make_mesh(
+            cfg.shards)
+        n_shards = mesh.devices.size
+        interpret = jax.default_backend() != "tpu"
+        counts = np.minimum(self._arrays.counts,
+                            np.iinfo(np.int32).max).astype(np.int32)
+        with log.Timer("train", nbytes=self._arrays.total_raw_bytes) as t:
+            engine = "hist"
+            out = sharded_hist_train(
+                tokens, word_id, counts, mesh=mesh, target_merges=target,
+                unk_id=cfg.unk_id, min_pair_freq=cfg.min_pair_freq,
+                interpret=interpret)
+            if out is None:    # vocab/layout outside the hist envelope
+                engine = "flat"
+                out = sharded_train(
+                    tokens, word_id, wcount, mesh=mesh,
+                    target_merges=target, unk_id=cfg.unk_id,
+                    min_pair_freq=cfg.min_pair_freq)
+        merges, freqs = out
+        self._merges = merges.astype(np.int32)
+        self._merge_freqs = freqs.astype(np.int64)
+        self._final_tokens = None
+        self._final_word_id = None
+        self._set_final_replay(self._merges)
+        self._trained = True
+        log.info("Training completed: %d merges performed. (%.2f s, "
+                 "sharded %s engine, %d shards)", len(merges), t.elapsed,
+                 engine, n_shards)
+        return len(merges)
+
+    def _set_final_replay(self, merges: np.ndarray) -> None:
+        """Lazy final corpus: replay the learned merges onto the raw
+        dedup stream with the native encoder (exact — same rank-order,
+        left-to-right overlap semantics as training)."""
+        arr = self._arrays
+        keep = self._keep
+        unk_id = self.config.unk_id
+
+        def final_fn():
+            tokens = arr.word_bytes.astype(np.int32)
+            unk = np.where(~keep[arr.word_bytes])[0]
+            tokens[unk] = unk_id
+            offsets = arr.offsets.astype(np.int64)
+            if len(merges):
+                enc = native.NativeEncoder(merges)
+                tokens, offsets = enc.apply_merges(tokens, offsets)
+                enc.free()
+            word_id = np.repeat(np.arange(arr.n_words, dtype=np.int32),
+                                np.diff(offsets))
+            return tokens.astype(np.int32), word_id
+
+        self._final_fn = final_fn
 
     # ------------------------------------------------------------------
     # checkpointing

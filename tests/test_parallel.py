@@ -94,3 +94,56 @@ def test_shard_corpus_word_boundaries():
                 assert wid[0] != seen[-1]
             seen.extend(wid.tolist())
     assert seen == word_id.tolist()
+
+
+def test_bpetrainer_mesh_wiring(zipf_corpus_file):
+    """The PUBLIC API reaches the sharded path: BPETrainer(mesh=...) /
+    shards=N trains data-parallel and stays bit-identical to
+    single-device training, including save() output."""
+    from shredword_tpu import parallel
+    from shredword_tpu.models.bpe import BPETrainer
+
+    single = BPETrainer(target_vocab_size=330, unk_id=-1,
+                        character_coverage=0.9995, min_pair_freq=5,
+                        backend="tpu")
+    single.load_corpus(zipf_corpus_file)
+    n = single.train()
+    assert n > 0
+
+    mesh = parallel.make_mesh(4)
+    t = BPETrainer(target_vocab_size=330, unk_id=-1,
+                   character_coverage=0.9995, min_pair_freq=5,
+                   backend="tpu", mesh=mesh)
+    t.load_corpus(zipf_corpus_file)
+    assert t.train() == n
+    np.testing.assert_array_equal(t.merges, single.merges)
+    # final-corpus replay path: token frequencies match too
+    np.testing.assert_array_equal(t.token_frequencies(),
+                                  single.token_frequencies())
+
+    t2 = BPETrainer(target_vocab_size=330, unk_id=-1,
+                    character_coverage=0.9995, min_pair_freq=5,
+                    backend="tpu", shards=2)
+    t2.load_corpus(zipf_corpus_file)
+    assert t2.train() == n
+    np.testing.assert_array_equal(t2.merges, single.merges)
+
+
+def test_bpetrainer_shards_flat_fallback(zipf_corpus_file):
+    """Vocab beyond the sharded-hist envelope falls back to the sharded
+    flat engine through the same public entry point."""
+    from shredword_tpu.models.bpe import BPETrainer
+
+    single = BPETrainer(target_vocab_size=2400, unk_id=-1,
+                        character_coverage=0.9995, min_pair_freq=5,
+                        backend="tpu", engine="flat")
+    single.load_corpus(zipf_corpus_file)
+    n = single.train()
+    assert n > 0
+
+    t = BPETrainer(target_vocab_size=2400, unk_id=-1,
+                   character_coverage=0.9995, min_pair_freq=5,
+                   backend="tpu", shards=2)
+    t.load_corpus(zipf_corpus_file)
+    assert t.train() == n
+    np.testing.assert_array_equal(t.merges, single.merges)
