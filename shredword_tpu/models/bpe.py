@@ -262,7 +262,7 @@ class BPETrainer:
             if cfg.engine == "hist":
                 raise TrainingError(
                     "hist engine requested but the corpus/vocab does not "
-                    "fit its layout (word > 64 tokens or vocab > 2048)")
+                    "fit its layout (word > 64 tokens or vocab > 32768)")
 
         n_prev = len(self._merges)
         if n_prev:

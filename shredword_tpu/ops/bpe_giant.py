@@ -1,0 +1,676 @@
+"""Giant-vocab fused BPE training: vocab to 32768, corpus in HBM.
+
+The fused engines in bpe_hist.py keep the [V, V] pair table (and for the
+flagship variant the corpus) VMEM-resident, which caps them at v <= 4096
+and ~12 MB of corpus.  This engine removes both caps while keeping the
+one-dispatch-per-training-run structure (grid = merges, zero host
+round-trips per merge):
+
+  table    int32[V, V//128, 128] in HBM, updated IN PLACE.  The trailing
+           [VH, 128] "matrix" layout maps id v <-> (v >> 7, v & 127), so a
+           table ROW, the left/right delta vectors, and the row-max vector
+           all share one indexing scheme — row updates are elementwise
+           matrix ops with no transposes.
+  pick     a VMEM-resident row-max matrix int32[VH, 128] maintained as an
+           UPPER BOUND; the pick loop takes the apparent global max, DMAs
+           that single row, and either confirms (true max == claimed) or
+           refreshes the bound and repeats.  This is the TPU-native analog
+           of the reference's lazy heap invalidation (bpe.cpp:406-415):
+           decrements leave stale-high entries that are corrected only
+           when they surface as the apparent maximum.  Tie-break: smallest
+           row, then smallest column — the documented lex rule, identical
+           to the flat/hist engines.
+  updates  row b / row new as whole-row matrix RMWs; columns a/new as
+           128-row x 128-lane strip RMWs gated on the delta vector's
+           per-128-row sparsity; merged cell zeroed last, with row a's
+           max refreshed exactly for free (reference accounting semantics
+           of bpe_merge_batch, bpe.cpp:437-517 — see apply_hist_updates).
+  corpus   int16[L, W] in HBM, words SORTED BY LENGTH into 512-wide lane
+           chunks; chunks are skipped via an EXACT token-presence index
+           int8[V, NC] (presence of a AND b is necessary for a match).
+           Presence rows for a, b, new are re-written exactly each merge
+           from per-chunk any()-reductions, so the index never decays.
+           Flagged chunk ids are scanned from SMEM (the flag vector is
+           DMA'd VMEM->SMEM once per merge); per-chunk loop bounds come
+           from a prefetched per-chunk max-word-length array, which the
+           length sort keeps small for most chunks.
+  deltas   the slot-collapse extraction of bpe_hist._slot_delta_accum,
+           scattered into the [VH, 128] delta matrices by exact one-hot
+           MXU matmuls: weights split 15/16 bits so every f32 partial dot
+           is exact (512 lanes x (2^15 - 1) < 2^24).
+
+Initial ids are bytes (or unk < 256), so the initial pair table lives in
+[0, 256)^2: the driver builds it with the small init_hist and embeds it
+into the zeroed giant table on device — nothing quadratic in V is ever
+uploaded through the host link.
+
+Conformance: bit-identical merge sequences to bpe_ops.train_loop (lex
+tie-break) — enforced by differential tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.jaxcache import ensure_jax_cache
+from .bpe_hist import PAD, _shift_down, _shift_up
+
+ensure_jax_cache()
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+C = 512            # chunk lane width (fixed: keeps the MXU scatter exact)
+SLAB = 128         # table rows per column-update strip (1 delta-matrix row)
+MAX_V = 32768      # int16 corpus ids
+MAX_NC = 16384     # flag-scan bound (W <= MAX_NC * C words)
+
+
+# ---------------------------------------------------------------------
+# host-side layout
+# ---------------------------------------------------------------------
+
+class GiantLayout(NamedTuple):
+    tw: np.ndarray      # int16[L, W] tokens, words sorted by length
+    wc: np.ndarray      # int32[1, W] word weights
+    lens: np.ndarray    # int32[NC] max word length per chunk
+    presT: np.ndarray   # int8[V, NC] exact token-in-chunk presence
+    perm: np.ndarray    # int64[n_words] original word index per column
+    n_words: int
+
+
+def build_giant_layout(tokens: np.ndarray, word_id: np.ndarray,
+                       wcount: np.ndarray, v: int,
+                       max_word_len: int = 64) -> GiantLayout | None:
+    """Length-sorted [L, W] layout + presence index; None if a word
+    exceeds max_word_len (caller falls back to the flat engine).
+
+    wcount is PER WORD (length = number of words).
+    """
+    if len(tokens) == 0:
+        return None
+    n_words = int(word_id[-1]) + 1
+    lens = np.bincount(word_id, minlength=n_words)
+    L = int(lens.max(initial=1))
+    if L > max_word_len:
+        return None
+    L = max(16, 1 << int(np.ceil(np.log2(L))))
+    if n_words > MAX_NC * C:
+        return None
+    perm = np.argsort(lens, kind="stable")          # short words first
+    NC = max(1, -(-n_words // C))
+    NC = -(-NC // 128) * 128                        # presT lane multiple
+    W = NC * C
+    tw = np.full((L, W), PAD, np.int16)
+    starts = np.zeros(n_words + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    # column of word perm[j] is j: scatter token positions via inv perm
+    inv = np.empty(n_words, np.int64)
+    inv[perm] = np.arange(n_words)
+    pos = np.arange(len(tokens)) - starts[word_id]
+    tw[pos, inv[word_id]] = tokens                  # initial ids < 256
+    wc = np.zeros((1, W), np.int32)
+    wc[0, inv] = wcount
+    chunk_lens = np.zeros(NC, np.int32)
+    sorted_lens = lens[perm]
+    nfull = n_words // C
+    if nfull:
+        chunk_lens[:nfull] = sorted_lens[:nfull * C].reshape(nfull, C).max(1)
+    if n_words % C:
+        chunk_lens[nfull] = sorted_lens[nfull * C:].max(initial=0)
+    presT = np.zeros((v, NC), np.int8)
+    chunk_of = (inv[word_id] // C).astype(np.int64)
+    key = np.unique(tokens.astype(np.int64) * NC + chunk_of)
+    presT[(key // NC).astype(np.int64), key % NC] = 1
+    return GiantLayout(tw, wc, chunk_lens, presT, perm, n_words)
+
+
+# ---------------------------------------------------------------------
+# kernel helpers
+# ---------------------------------------------------------------------
+
+def _extract_row(mat, r):
+    """[1, cols] copy of sublane r of a [rows, cols] array (masked sum —
+    dynamic sublane slicing is not relied on)."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 0)
+    return jnp.sum(jnp.where(ri == r, mat, 0), axis=0, keepdims=True)
+
+
+def _transpose_row(row, ident):
+    """Exact int32 [1, 128] -> [128, 1] via hi/lo split identity dots."""
+    lo = (row & 0x7FFF).astype(jnp.float32)
+    hi = (row >> 15).astype(jnp.float32)
+    dims = (((1,), (1,)), ((), ()))
+    lo_c = jax.lax.dot_general(ident, lo, dims,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+    hi_c = jax.lax.dot_general(ident, hi, dims,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+    return hi_c.astype(jnp.int32) * 32768 + lo_c.astype(jnp.int32)
+
+
+def _mxu_scatter(vals, w, acc_ref, vh: int):
+    """acc[VH, 128] += sum_lane w * onehot2d(vals): exact one-hot MXU
+    scatter (weights split 15/16 bits; every f32 partial sum < 2^24 for
+    C <= 512 lanes).  vals/w are [1, C] int32; invalid lanes must carry
+    w == 0 (their value may be anything, including negatives)."""
+    c = vals.shape[1]
+    hi = vals >> 7
+    lo = vals & 127
+    rows = jax.lax.broadcasted_iota(jnp.int32, (vh, c), 0)
+    a_m = (rows == jnp.broadcast_to(hi, (vh, c))).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 1)
+    onehot_lo = (cols == jnp.broadcast_to(lo.reshape(c, 1),
+                                          (c, 128))).astype(jnp.float32)
+    wlo = jnp.broadcast_to((w & 0x7FFF).astype(jnp.float32).reshape(c, 1),
+                           (c, 128)) * onehot_lo
+    whi = jnp.broadcast_to((w >> 15).astype(jnp.float32).reshape(c, 1),
+                           (c, 128)) * onehot_lo
+    dims = (((1,), (0,)), ((), ()))
+    plo = jax.lax.dot_general(a_m, wlo, dims,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+    phi = jax.lax.dot_general(a_m, whi, dims,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+    acc_ref[:, :] += phi.astype(jnp.int32) * 32768 + plo.astype(jnp.int32)
+
+
+def _select_apply_dyn(tt, a, b, new, l_c, L):
+    """_select_and_apply with loop bounds from the per-chunk max word
+    length (greedy left-to-right rule + hole-march compaction)."""
+    cc = tt.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, cc), 0)
+    nxt = _shift_up(tt, PAD)
+    m = ((tt == a) & (nxt == b)).astype(jnp.int32)
+
+    def gbody(l, sel):
+        prev = _shift_down(sel, 0)
+        return jnp.where(row == l, m * (1 - prev), sel)
+
+    sel = jax.lax.fori_loop(0, l_c, gbody, jnp.zeros((L, cc), jnp.int32))
+    t2 = tt + sel * (new - tt)
+    hole = _shift_down(sel, 0)
+
+    def hbody(_, carry):
+        t2, hole = carry
+        t_dn = _shift_up(t2, PAD)
+        return t2 + hole * (t_dn - t2), _shift_down(hole, 0)
+
+    t2, _ = jax.lax.fori_loop(0, jnp.maximum(l_c - 1, 0), hbody, (t2, hole))
+    return t2, sel
+
+
+def _slot_deltas_mxu(tt, sel, ww, new, unk, l_c, vh, dl_ref, dr_ref):
+    """Slot-collapse neighbor extraction (bpe_merge_batch accounting,
+    bpe.cpp:437-470 — see bpe_hist._slot_delta_accum) feeding the MXU
+    scatter instead of an O(V x C) lane-reduce histogram."""
+    L, cc = tt.shape
+    sel2 = _shift_down(_shift_down(sel, 0), 0)
+    t_up = _shift_down(tt, PAD)
+    lval = t_up + sel2 * (new - t_up)
+    rval = _shift_up(_shift_up(tt, PAD), PAD)
+    wsel = sel * ww
+    wl = jnp.where((lval >= 0) & (lval != unk), wsel, 0)
+    wr = jnp.where((rval >= 0) & (rval != unk), wsel, 0)
+    cs = sel
+    sh = 1
+    while sh < L:
+        r = pltpu.roll(cs, shift=sh, axis=0)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (L, cc), 0)
+        cs = cs + jnp.where(rowi >= sh, r, 0)
+        sh *= 2
+
+    def slot_body(k, carry):
+        slot = (sel != 0) & (cs == k + 1)
+
+        @pl.when(jnp.any(slot))
+        def _():
+            lv = jnp.sum(jnp.where(slot, lval, 0), axis=0, keepdims=True)
+            lw = jnp.sum(jnp.where(slot, wl, 0), axis=0, keepdims=True)
+            rv = jnp.sum(jnp.where(slot, rval, 0), axis=0, keepdims=True)
+            rw = jnp.sum(jnp.where(slot, wr, 0), axis=0, keepdims=True)
+            _mxu_scatter(lv, lw, dl_ref, vh)
+            _mxu_scatter(rv, rw, dr_ref, vh)
+        return carry
+
+    jax.lax.fori_loop(0, (l_c + 1) // 2, slot_body, 0)
+
+
+# ---------------------------------------------------------------------
+# the fused giant kernel: grid = merges
+# ---------------------------------------------------------------------
+
+def _giant_kernel(v: int, L: int, NC: int, W: int,
+                  lens_ref, scal_ref,            # scalar prefetch (SMEM)
+                  wc_hbm, tw_hbm, h_in, p_in, rmax_in,   # inputs
+                  tw_out, h_io, p_io, rmax_ref, mrow_ref,  # outputs
+                  done_s, dl_ref, dr_ref, rowbuf, slabbuf,
+                  tbuf, wbuf, prgrp, stillA, stillB, hasN, flagsv,
+                  flag_smem, sem_a, sem_b, sem_c, sem_d):
+    # h_in/p_in/tw_hbm are only accessed through their aliases (in-place).
+    del h_in, p_in
+    vh = v // 128
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        done_s[0] = scal_ref[3]
+        # output VMEM blocks start uninitialized: seed the row-max matrix
+        # from its input block once (it persists across grid steps)
+        rmax_ref[:] = rmax_in[:]
+
+    unk = scal_ref[0]
+    min_freq = scal_ref[1]
+    new = 256 + scal_ref[2] + i
+    nc_used = scal_ref[5]
+
+    li = (jax.lax.broadcasted_iota(jnp.int32, (vh, 128), 0) * 128
+          + jax.lax.broadcasted_iota(jnp.int32, (vh, 128), 1))
+    i128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    ident = (i128 == jax.lax.broadcasted_iota(
+        jnp.int32, (128, 128), 1)).astype(jnp.float32)
+
+    # ---- lazy pick: argmax over the upper-bound row-max matrix, verify
+    # by reading the single claimed row, refresh + retry on staleness
+    # (lazy heap invalidation, bpe.cpp:406-415, rebuilt TPU-style)
+    def pick_cond(carry):
+        return carry[0] == 0
+
+    def pick_body(carry):
+        _, _, _, n_ref = carry
+        rmm = jnp.where(rmax_ref[:] >= min_freq, rmax_ref[:], 0)
+        m = jnp.max(rmm)
+        a = jnp.where(m > 0,
+                      jnp.min(jnp.where(rmm == m, li, INT32_MAX)), 0)
+
+        @pl.when(m > 0)
+        def _():
+            cp = pltpu.make_async_copy(h_io.at[a], rowbuf, sem_a)
+            cp.start()
+            cp.wait()
+
+        true_max = jnp.max(rowbuf[:])
+        stale = (m > 0) & (true_max != m)
+
+        @pl.when(stale)
+        def _():
+            rmax_ref[:] = jnp.where(li == a, true_max, rmax_ref[:])
+
+        return jnp.where(stale, 0, 1), a, m, n_ref + 1
+
+    _, a, m, n_refresh = jax.lax.while_loop(
+        pick_cond, pick_body,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+    do = (m > 0) & (done_s[0] == 0) & (i < scal_ref[4])
+    a = jnp.where(do, a, 0)
+    b = jnp.where(do,
+                  jnp.min(jnp.where(rowbuf[:] == m, li, INT32_MAX)), 0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    mrow_ref[:] = (jnp.where(lane == 0, a, 0) + jnp.where(lane == 1, b, 0)
+                   + jnp.where(lane == 2, m, 0)
+                   + jnp.where(lane == 3, do.astype(jnp.int32), 0)
+                   + jnp.where(lane == 4, n_refresh, 0))
+
+    @pl.when(jnp.logical_not(do))
+    def _():
+        done_s[0] = 1          # sticky: merging never revives a pair
+
+    @pl.when(do)
+    def _():
+        dl_ref[:] = jnp.zeros_like(dl_ref)
+        dr_ref[:] = jnp.zeros_like(dr_ref)
+
+        # ---- chunk flags from the exact presence index
+        a32 = (a // 32) * 32
+        b32 = (b // 32) * 32
+        cp = pltpu.make_async_copy(p_io.at[pl.ds(a32, 32), :], prgrp, sem_b)
+        cp.start()
+        cp.wait()
+        rowa = _extract_row(prgrp[:].astype(jnp.int32), a - a32)
+        cp = pltpu.make_async_copy(p_io.at[pl.ds(b32, 32), :], prgrp, sem_b)
+        cp.start()
+        cp.wait()
+        rowb = _extract_row(prgrp[:].astype(jnp.int32), b - b32)
+        stillA[:] = rowa
+        stillB[:] = rowb
+        hasN[:] = jnp.zeros_like(hasN)
+        flagsv[:] = rowa * rowb
+        cp = pltpu.make_async_copy(flagsv, flag_smem, sem_b)
+        cp.start()
+        cp.wait()
+
+        lane_nc = jax.lax.broadcasted_iota(jnp.int32, (1, NC), 1)
+
+        # ---- corpus pass over flagged chunks only
+        def chunk_body(c, carry):
+            @pl.when(flag_smem[0, c] != 0)
+            def _():
+                l_c = lens_ref[c]
+                cp_t = pltpu.make_async_copy(
+                    tw_out.at[:, pl.ds(c * C, C)], tbuf, sem_c)
+                cp_w = pltpu.make_async_copy(
+                    wc_hbm.at[:, pl.ds(c * C, C)], wbuf, sem_d)
+                cp_t.start()
+                cp_w.start()
+                cp_t.wait()
+                cp_w.wait()
+                tt = tbuf[:].astype(jnp.int32)
+                nxt0 = _shift_up(tt, PAD)
+                mm = (tt == a) & (nxt0 == b)
+
+                @pl.when(jnp.any(mm))
+                def _():
+                    t2, sel = _select_apply_dyn(tt, a, b, new, l_c, L)
+                    tbuf[:] = t2.astype(jnp.int16)
+                    _slot_deltas_mxu(tt, sel, wbuf[:], new, unk, l_c, vh,
+                                     dl_ref, dr_ref)
+                    here = (lane_nc == c)
+                    stillA[:] = jnp.where(
+                        here, jnp.any(t2 == a).astype(jnp.int32), stillA[:])
+                    stillB[:] = jnp.where(
+                        here, jnp.any(t2 == b).astype(jnp.int32), stillB[:])
+                    hasN[:] = jnp.where(here, 1, hasN[:])
+                    cp_o = pltpu.make_async_copy(
+                        tbuf, tw_out.at[:, pl.ds(c * C, C)], sem_c)
+                    cp_o.start()
+                    cp_o.wait()
+            return carry
+
+        jax.lax.fori_loop(0, nc_used, chunk_body, 0)
+
+        # ---- exact presence row rewrites (a, then b, then new; groups
+        # are re-read so overlapping 32-row groups stay consistent)
+        gi = jax.lax.broadcasted_iota(jnp.int32, (32, NC), 0)
+
+        def rmw_presence(tok, bits):
+            t32 = (tok // 32) * 32
+            cp_i = pltpu.make_async_copy(
+                p_io.at[pl.ds(t32, 32), :], prgrp, sem_b)
+            cp_i.start()
+            cp_i.wait()
+            prgrp[:] = jnp.where(gi == tok - t32,
+                                 jnp.broadcast_to(bits, (32, NC)),
+                                 prgrp[:].astype(jnp.int32)).astype(jnp.int8)
+            cp_o = pltpu.make_async_copy(
+                prgrp, p_io.at[pl.ds(t32, 32), :], sem_b)
+            cp_o.start()
+            cp_o.wait()
+
+        rmw_presence(a, stillA[:])
+        rmw_presence(b, stillB[:])
+        rmw_presence(new, hasN[:])
+
+        # ---- table updates (apply_hist_updates semantics; all additive
+        # terms commute, merged cell zeroed last):
+        # 1. row b -= dr  (whole-row matrix RMW; exact max at this point
+        #    feeds the bound — later additive increases are covered by
+        #    the max-with-dl below)
+        cp_i = pltpu.make_async_copy(h_io.at[b], rowbuf, sem_a)
+        cp_i.start()
+        cp_i.wait()
+        newrow_b = rowbuf[:] - dr_ref[:]
+        rowbuf[:] = newrow_b
+        rmax_ref[:] = jnp.where(li == b, jnp.max(newrow_b), rmax_ref[:])
+        cp_o = pltpu.make_async_copy(rowbuf, h_io.at[b], sem_a)
+        cp_o.start()
+        cp_o.wait()
+
+        # 2. row new = dr (fresh row; its (new, a)/(new, new) corrections
+        #    arrive via the column strips below)
+        rowbuf[:] = dr_ref[:]
+        cp_o = pltpu.make_async_copy(rowbuf, h_io.at[new], sem_a)
+        cp_o.start()
+        cp_o.wait()
+
+        # 3. columns a/new +-= dl as gated 128-row strips
+        a_hi, a_lo = a // 128, a % 128
+        n_hi, n_lo = new // 128, new % 128
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+
+        def slab_body(s, carry):
+            dlrow = _extract_row(dl_ref[:], s)
+
+            @pl.when(jnp.any(dlrow != 0))
+            def _():
+                col_dl = _transpose_row(dlrow, ident)      # [128, 1]
+
+                def strip(cq, cl, sign):
+                    cp_i = pltpu.make_async_copy(
+                        h_io.at[pl.ds(s * 128, 128), cq], slabbuf, sem_a)
+                    cp_i.start()
+                    cp_i.wait()
+                    slabbuf[:] = slabbuf[:] + sign * col_dl * (
+                        lane128 == cl)
+                    cp_o = pltpu.make_async_copy(
+                        slabbuf, h_io.at[pl.ds(s * 128, 128), cq], sem_a)
+                    cp_o.start()
+                    cp_o.wait()
+
+                strip(a_hi, a_lo, -1)
+                strip(n_hi, n_lo, 1)
+            return carry
+
+        jax.lax.fori_loop(0, vh, slab_body, 0)
+
+        # 4. merged cell -> 0; row a is final now, refresh its max exactly
+        cp_i = pltpu.make_async_copy(h_io.at[a], rowbuf, sem_a)
+        cp_i.start()
+        cp_i.wait()
+        rowa_f = jnp.where(li == b, 0, rowbuf[:])
+        rowbuf[:] = rowa_f
+        cp_o = pltpu.make_async_copy(rowbuf, h_io.at[a], sem_a)
+        cp_o.start()
+        cp_o.wait()
+
+        # 5. row-max bound maintenance: col-new increases are bounded by
+        #    dl; row new's max is computed exactly from dl/dr
+        dlnew = jnp.sum(jnp.where(li == new, dl_ref[:], 0))
+        rn = (dr_ref[:] + jnp.where(li == new, dlnew, 0)
+              - jnp.where(li == a, dlnew, 0))
+        rmax = jnp.maximum(rmax_ref[:], dl_ref[:])
+        rmax = jnp.where(li == new, jnp.max(rn), rmax)
+        rmax = jnp.where(li == a, jnp.max(rowa_f), rmax)
+        rmax_ref[:] = rmax
+
+
+def make_giant_train(v: int, L: int, NC: int, steps: int,
+                     interpret: bool = False):
+    """One pallas_call = `steps` greedy merges at giant scale.
+
+    giant(lens, scal, wc, tw, hist4, presT, rowmax) ->
+        (tw', hist4', presT', rowmax', mrows)
+
+    tw int16[L, W]; hist4 int32[v, v//128, 128]; presT int8[v, NC];
+    rowmax int32[v//128, 128]; scal int32[6] = (unk_id, min_pair_freq,
+    n_done, init_done, steps_allowed, nc_used).  mrows as in
+    make_fused_train: step k's record at row 8k, lanes (a, b, freq, did).
+    tw/hist4/presT/rowmax are donated and updated in place.
+    """
+    W = NC * C
+    vh = v // 128
+    kernel = partial(_giant_kernel, v, L, NC, W)
+
+    @partial(jax.jit, donate_argnums=(3, 4, 5, 6))
+    def giant(lens, scal, wc, tw, hist4, presT, rowmax):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,              # lens, scal
+                grid=(steps,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),   # wc
+                    pl.BlockSpec(memory_space=pl.ANY),   # tw
+                    pl.BlockSpec(memory_space=pl.ANY),   # hist4
+                    pl.BlockSpec(memory_space=pl.ANY),   # presT
+                    pl.BlockSpec((vh, 128), lambda i, *s: (0, 0),
+                                 memory_space=pltpu.VMEM),   # rowmax
+                ],
+                out_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),   # tw out
+                    pl.BlockSpec(memory_space=pl.ANY),   # hist4 out
+                    pl.BlockSpec(memory_space=pl.ANY),   # presT out
+                    pl.BlockSpec((vh, 128), lambda i, *s: (0, 0),
+                                 memory_space=pltpu.VMEM),   # rowmax out
+                    pl.BlockSpec((8, 128), lambda i, *s: (i, 0),
+                                 memory_space=pltpu.VMEM),   # mrows
+                ],
+                scratch_shapes=[
+                    pltpu.SMEM((1,), jnp.int32),             # done
+                    pltpu.VMEM((vh, 128), jnp.int32),        # dl
+                    pltpu.VMEM((vh, 128), jnp.int32),        # dr
+                    pltpu.VMEM((vh, 128), jnp.int32),        # rowbuf
+                    pltpu.VMEM((SLAB, 128), jnp.int32),      # slabbuf
+                    pltpu.VMEM((L, C), jnp.int16),           # tbuf
+                    pltpu.VMEM((1, C), jnp.int32),           # wbuf
+                    pltpu.VMEM((32, NC), jnp.int8),          # presence grp
+                    pltpu.VMEM((1, NC), jnp.int32),          # stillA
+                    pltpu.VMEM((1, NC), jnp.int32),          # stillB
+                    pltpu.VMEM((1, NC), jnp.int32),          # hasN
+                    pltpu.VMEM((1, NC), jnp.int32),          # flags
+                    pltpu.SMEM((1, NC), jnp.int32),          # flags scan
+                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((L, W), jnp.int16),
+                jax.ShapeDtypeStruct((v, vh, 128), jnp.int32),
+                jax.ShapeDtypeStruct((v, NC), jnp.int8),
+                jax.ShapeDtypeStruct((vh, 128), jnp.int32),
+                jax.ShapeDtypeStruct((steps * 8, 128), jnp.int32),
+            ],
+            # args order: lens, scal, wc, tw, hist4, presT, rowmax
+            input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                has_side_effects=True),
+        )(lens, scal, wc, tw, hist4, presT, rowmax)
+
+    return giant
+
+
+# ---------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("v",))
+def _giant_init_tables(tw, wc, unk_id, *, v: int):
+    """Initial [v, vh, 128] pair table + row-max matrix on device.
+
+    Initial ids are bytes (or unk, which counting excludes), so the
+    nonzero region is [0, 256)^2 — built with the small histogram and
+    embedded; nothing quadratic in v crosses the host link."""
+    from .bpe_hist import HistCorpus, init_hist
+    vh = v // 128
+    small = init_hist(HistCorpus(tw, wc), unk_id, v=256)    # [256, 256]
+    hist4 = jnp.zeros((v, vh, 128), jnp.int32)
+    hist4 = hist4.at[:256, :2, :].set(small.reshape(256, 2, 128))
+    rm256 = jnp.max(small, axis=1)                          # [256]
+    rowmax = jnp.zeros((vh, 128), jnp.int32)
+    rowmax = rowmax.at[:2, :].set(rm256.reshape(2, 128))
+    return hist4, rowmax
+
+
+def giant_train(tokens: np.ndarray, word_id: np.ndarray,
+                wcount: np.ndarray, *, target_merges: int,
+                unk_id: int = -1, min_pair_freq: int = 2,
+                max_word_len: int = 64, steps_per_call: int = 4096,
+                interpret: bool = False, progress_cb=None,
+                lazy_final: bool = False, _cache={}):
+    """Full driver: one upload, one dispatch per steps_per_call merges,
+    16 bytes of readback per merge.  Returns (merges[M, 2], freqs[M],
+    final tokens, final word_id) — or a lazy final_fn — or None if the
+    problem is outside the engine's envelope (vocab > 32768, a word
+    longer than max_word_len, unk_id >= 256, > 8.4M unique words)."""
+    v = 256 + target_merges
+    # vh = v // 128 is a sublane dimension: keep it a multiple of 8
+    # (hardware (8, 128) int32 tiling), i.e. v a multiple of 1024
+    v = -(-v // 1024) * 1024
+    if v > MAX_V or unk_id >= 256 or len(tokens) == 0:
+        return None
+    lay = build_giant_layout(tokens, word_id, wcount, v, max_word_len)
+    if lay is None:
+        return None
+    L, W = lay.tw.shape
+    NC = W // C
+    steps = max(1, min(steps_per_call, target_merges))
+    key = (v, L, NC, steps, interpret)
+    if key not in _cache:
+        _cache[key] = make_giant_train(v, L, NC, steps,
+                                       interpret=interpret)
+    giant = _cache[key]
+
+    tw = jnp.asarray(lay.tw)
+    wc = jnp.asarray(lay.wc)
+    presT = jnp.asarray(lay.presT)
+    lens = jnp.asarray(lay.lens)
+    hist4, rowmax = _giant_init_tables(tw, wc, jnp.int32(unk_id), v=v)
+    nc_used = max(1, -(-lay.n_words // C))
+
+    merges_np: list = []
+    freqs_np: list = []
+    done = 0
+    while len(merges_np) < target_merges and not done:
+        allowed = target_merges - len(merges_np)
+        scal = jnp.array([unk_id, min_pair_freq, len(merges_np), done,
+                          allowed, nc_used], jnp.int32)
+        tw, hist4, presT, rowmax, mrows = giant(
+            lens, scal, wc, tw, hist4, presT, rowmax)
+        rows = np.asarray(mrows[::8, :4])       # 16 bytes per merge step
+        did = rows[:, 3] != 0
+        n_new = int(did.sum())
+        if n_new < min(len(rows), allowed):
+            done = 1
+        merges_np.extend(rows[did, 0:2].tolist())
+        freqs_np.extend(rows[did, 2].tolist())
+        if progress_cb is not None:
+            progress_cb(np.asarray(merges_np, np.int32).reshape(-1, 2),
+                        np.asarray(freqs_np, np.int32))
+        if n_new == 0:
+            break
+
+    n = len(merges_np)
+    merges = np.asarray(merges_np, np.int32).reshape(n, 2)
+    freqs = np.asarray(freqs_np, np.int32)
+    final_tw = tw
+    perm = lay.perm
+    n_words = lay.n_words
+
+    def final_fn():
+        """Materialize the final merged corpus in ORIGINAL word order
+        (one D2H transfer; undoes the length sort)."""
+        twh = np.asarray(final_tw)
+        cols = (twh >= 0).T                       # [W, L] valid positions
+        col_lens = cols.sum(1)[:n_words]          # per sorted column
+        toks_sorted = twh.T[:n_words][cols[:n_words]].astype(np.int32)
+        # regroup sorted columns back to original word ids (vectorized)
+        starts = np.zeros(n_words + 1, np.int64)
+        np.cumsum(col_lens, out=starts[1:])
+        inv = np.empty(n_words, np.int64)
+        inv[perm] = np.arange(n_words)            # original -> column
+        out_lens = col_lens[inv]
+        ostarts = np.zeros(n_words + 1, np.int64)
+        np.cumsum(out_lens, out=ostarts[1:])
+        total = int(ostarts[-1])
+        pos_in_word = (np.arange(total, dtype=np.int64)
+                       - np.repeat(ostarts[:-1], out_lens))
+        order = np.repeat(starts[inv], out_lens) + pos_in_word
+        final_tokens = toks_sorted[order]
+        final_word_id = np.repeat(np.arange(n_words, dtype=np.int32),
+                                  out_lens)
+        return final_tokens, final_word_id
+
+    if lazy_final:
+        return merges, freqs, final_fn
+    return (merges, freqs, *final_fn())

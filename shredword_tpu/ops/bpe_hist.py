@@ -1065,11 +1065,23 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
     # serialize.  Kept for large-vocab/rare-pair regimes; default dense.
     """Full driver.  Returns (merges[M,2], freqs[M], final flat tokens,
     final word_id) or None if the layout does not fit."""
+    from . import bpe_giant
+
     v = 256 + target_merges
     v = -(-v // 128) * 128
+    if v > 4096:
+        # beyond the [V, V]-table engines: the giant engine (HBM table,
+        # lazy row-max pick, chunk-skipped corpus) covers v <= 32768
+        return bpe_giant.giant_train(
+            tokens, word_id, wcount, target_merges=target_merges,
+            unk_id=unk_id, min_pair_freq=min_pair_freq,
+            max_word_len=max_word_len,
+            steps_per_call=max(max_steps_per_call, 4096),
+            interpret=interpret, progress_cb=progress_cb,
+            lazy_final=lazy_final)
     c = build_layout(tokens, word_id, wcount, max_word_len,
                      min_len=16)   # int16 storage: (16, 128) min tile
-    if c is None or v > 4096:      # > 4096: flat engine (sparse counts)
+    if c is None:
         return None
     L, W = c.tw.shape
     ts = None
@@ -1085,6 +1097,19 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
             min_pair_freq=min_pair_freq,
             steps_per_call=max_steps_per_call, interpret=interpret,
             progress_cb=progress_cb, _cache=_cache)
+    if ts is None:
+        # corpus too large for the VMEM-resident fused kernel: the giant
+        # engine streams chunks from HBM and skips by presence — far
+        # cheaper than the full-corpus-per-merge while_loop fallback
+        out = bpe_giant.giant_train(
+            tokens, word_id, wcount, target_merges=target_merges,
+            unk_id=unk_id, min_pair_freq=min_pair_freq,
+            max_word_len=max_word_len,
+            steps_per_call=max(max_steps_per_call, 4096),
+            interpret=interpret, progress_cb=progress_cb,
+            lazy_final=lazy_final)
+        if out is not None:
+            return out
     if ts is None:
         ts = hist_train_init(c, unk_id, max(target_merges, 1), v)
         ts = ts._replace(corpus=HistCorpus(
