@@ -183,9 +183,10 @@ def check_device_engines() -> None:
                      "(model+vocab bit-identical)\n")
 
 
-def measure_encode() -> tuple[float, float]:
-    """Encode MB/s (cpu native, tpu batch) on a trained model —
-    side report only (BASELINE.md metric 3)."""
+def measure_encode() -> dict:
+    """Encode/decode MB/s on a trained model — side report only
+    (BASELINE.md config 3: cpu native encode, tpu batch encode, and the
+    vectorized decode)."""
     from shredword_tpu import Tokenizer
     tok = Tokenizer.train(CORPUS, vocab_size=VOCAB, min_pair_freq=MIN_FREQ,
                           character_coverage=COVERAGE, backend="cpu",
@@ -195,8 +196,27 @@ def measure_encode() -> tuple[float, float]:
     t0 = time.perf_counter()
     ids = tok.encode(text)
     cpu_mbs = nbytes / 1e6 / (time.perf_counter() - t0)
-    assert tok.decode(ids) == text
-    return cpu_mbs, len(ids)
+
+    t0 = time.perf_counter()
+    out = tok.decode(ids)
+    dec_mbs = nbytes / 1e6 / (time.perf_counter() - t0)
+    assert out == text
+
+    # tpu batch encode: the text split into document-sized pieces, all
+    # encoded in ONE device dispatch (shape-bucketed: steady state does
+    # not recompile)
+    tok.backend = "tpu"
+    docs = [text[i:i + 65536] for i in range(0, len(text), 65536)]
+    tpu_ids = tok.encode_batch(docs)         # warm-up: compile
+    t0 = time.perf_counter()
+    tpu_ids = tok.encode_batch(docs)
+    tpu_mbs = nbytes / 1e6 / (time.perf_counter() - t0)
+    flat = [i for doc in tpu_ids for i in doc]
+    # per-doc splits re-join to the same stream modulo document-boundary
+    # merges; verify exact per-doc round trips instead
+    assert "".join(tok.decode(d) for d in tpu_ids) == "".join(docs)
+    return {"cpu_mbs": cpu_mbs, "tpu_mbs": tpu_mbs, "dec_mbs": dec_mbs,
+            "n_ids": len(ids), "n_ids_tpu": len(flat)}
 
 
 def main() -> None:
@@ -219,10 +239,12 @@ def main() -> None:
         f"({ref_n} merges, {base:.1f} MB/s); tpu: {tpu_dt:.2f}s "
         f"({tpu_n} merges, {ours:.1f} MB/s)\n")
     try:
-        enc_mbs, n_ids = measure_encode()
-        sys.stderr.write(f"[bench] encode (cpu native): {enc_mbs:.1f} MB/s "
-                         f"({n_ids} ids, round-trip exact); the reference "
-                         f"has no encoder to compare\n")
+        e = measure_encode()
+        sys.stderr.write(
+            f"[bench] encode: cpu native {e['cpu_mbs']:.1f} MB/s "
+            f"({e['n_ids']} ids, round-trip exact), tpu batch "
+            f"{e['tpu_mbs']:.1f} MB/s; decode {e['dec_mbs']:.1f} MB/s; "
+            f"the reference has no encoder to compare\n")
     except Exception as e:  # encode side-metric must never sink the bench
         sys.stderr.write(f"[bench] encode side-metric failed: {e}\n")
     print(json.dumps({

@@ -1,4 +1,4 @@
-"""TPU batch encoder — minbpe-contract BPE encoding over flat arrays.
+"""TPU batch encoder — minbpe-contract BPE encoding.
 
 Semantics (the contract implied by the reference's merges table + merge()
 left-to-right overlap rule, base.py:22-36, never implemented there):
@@ -6,18 +6,24 @@ per chunk, repeatedly substitute the *lowest-rank* adjacent pair present,
 consuming overlapping runs greedily left-to-right, until no adjacent pair
 is a known merge.
 
-TPU-native formulation: all chunks are concatenated into one flat int32
-stream with a chunk-id array.  Each device round:
+Two formulations:
 
-  1. rank[i]  = hash-probe lookup of pair (t[i], t[i+1]) in a replicated
-     open-addressing table (vectorized gathers — no host round trip)
-  2. cmin[c]  = segment-min of ranks per chunk
-  3. positions whose rank equals their chunk's min merge simultaneously
-     (one rank per chunk per round — exactly per-chunk sequential order,
-     but thousands of chunks advance in parallel)
-  4. parity scan resolves overlapping runs; masked scatter compacts
+1. ``encode_tw`` (default): chunks as LANE COLUMNS of an int32[L, W]
+   block — the trainer's by-word layout (bpe_hist.build_layout) applied
+   to encoding.  Per device round: one dense-table gather gives every
+   adjacent pair's rank, the per-chunk min is a column reduce (a chunk
+   IS a column — no segment ops), greedy run selection and hole-march
+   compaction are row-shift arithmetic.  No sorts, no scatters; the only
+   non-elementwise op per round is the rank gather.  Rounds needed =
+   max merges in any single chunk <= L - 1.
 
-The whole loop runs inside ``lax.while_loop`` in one XLA dispatch.
+2. ``encode_flat`` (kept for >64-byte chunks and differential tests):
+   flat stream + chunk-id segments, hash-probe rank lookup, sort-free
+   but scatter-heavy — measured ~100x slower than encode_tw on real
+   hardware; retained because its chunk length is unbounded.
+
+Both run their entire loop inside ``lax.while_loop`` in one dispatch,
+with shapes bucketed to powers of two so steady state never recompiles.
 """
 
 from __future__ import annotations
@@ -168,14 +174,248 @@ def encode_flat(tokens: jax.Array, chunk_id: jax.Array, length: jax.Array,
     return jax.lax.while_loop(cond_fn, body_fn, state)
 
 
+def _bucket(n: int, floor: int = 1024) -> int:
+    """Power-of-two shape bucket: every (capacity, num_chunks) pair maps
+    to one cached XLA executable instead of one per input shape."""
+    cap = floor
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+# ---------------------------------------------------------------------
+# by-word layout encoder (the fast path)
+# ---------------------------------------------------------------------
+
+MAX_TW_LEN = 64      # chunks longer than this fall back to encode_flat
+
+
+def build_rank_table(merges: np.ndarray, v: int) -> jax.Array:
+    """Dense flat pair->rank table int32[v*v] ON DEVICE (only the merge
+    list crosses the host link); RANK_INF = no merge.  First occurrence
+    of a pair wins (earliest rank)."""
+    merges = np.asarray(merges, np.int32).reshape(-1, 2)
+    ok = (merges >= 0).all(1) & (merges < v).all(1)
+    keys = jnp.asarray(merges[ok, 0].astype(np.int64) * v
+                       + merges[ok, 1])
+    ranks = jnp.asarray(np.arange(len(merges), dtype=np.int32)[ok])
+    table = jnp.full(v * v, RANK_INF, jnp.int32)
+    return table.at[keys].min(ranks, mode="drop")
+
+
+def _shift_up_rows(x, fill):
+    return jnp.concatenate([x[1:], jnp.full_like(x[:1], fill)], axis=0)
+
+
+def _shift_down_rows(x, fill):
+    return jnp.concatenate([jnp.full_like(x[:1], fill), x[:-1]], axis=0)
+
+
+def _shift_down_n(x, s):
+    return jnp.concatenate([jnp.full_like(x[:s], -1), x[:-s]], axis=0)
+
+
+@partial(jax.jit, static_argnames=("v",))
+def _encode_device(tw_u8: jax.Array, lens: jax.Array, gb: jax.Array,
+                   table_flat: jax.Array, *, v: int):
+    """Device half of encode_stream: expand uint8[L, W] + lens to the
+    -1-padded int32 layout, run the merge loop, compact column-major,
+    and count ids per group.
+
+    Each round merges, in every column independently, ALL occurrences of
+    that column's lowest-rank pair (greedy left-to-right within runs) —
+    exactly the base.py:22-36 contract — then compacts the column.
+    Terminates when no column has a known pair.
+
+    Host traffic: uint8 tokens + int32 lens up; the live id prefix +
+    per-group counts down — nothing O(L*W) crosses the link in int32.
+    """
+    L, W = tw_u8.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, W), 0)
+    tw = jnp.where(row < lens[None, :], tw_u8.astype(jnp.int32), -1)
+
+    def cond_fn(carry):
+        return carry[1]
+
+    def body_fn(carry):
+        t, _ = carry
+        nxt = _shift_up_rows(t, -1)
+        valid = (t >= 0) & (nxt >= 0)
+        key = jnp.where(valid, t * v + nxt, 0)
+        rank = jnp.where(valid, table_flat[key], RANK_INF)
+        rmin = jnp.min(rank, axis=0, keepdims=True)      # [1, W]
+        m = (rank == rmin) & (rank < RANK_INF)
+        # greedy overlap rule as a log-step parity scan down rows (the
+        # bpe_ops.select_matches trick per column): in a run of
+        # consecutive matches take every other one from the run head
+        nm = jnp.where(m, -1, row)
+        last = nm
+        s = 1
+        while s < L:                       # prefix max down rows
+            last = jnp.maximum(last, _shift_down_n(last, s))
+            s *= 2
+        sel = (m & ((row - last - 1) % 2 == 0)).astype(jnp.int32)
+        t2 = jnp.where(sel == 1, 256 + rank, t)
+        hole = _shift_down_rows(sel, 0)
+
+        # hole-march compaction with a data-dependent trip count: a hole
+        # dies once it swaps in the -1 tail (marching further is a
+        # no-op), so iterations ~ distance from the merge site to the
+        # end of its column's live data, not L-1
+        def march_cond(c):
+            return jnp.any(c[1] == 1)
+
+        def march_body(c):
+            t2, hole = c
+            t_dn = _shift_up_rows(t2, -1)
+            t2 = t2 + hole * (t_dn - t2)
+            return t2, _shift_down_rows(hole * (t_dn >= 0), 0)
+
+        t2, _ = jax.lax.while_loop(march_cond, march_body, (t2, hole))
+        return (t2, jnp.any(rmin < RANK_INF))
+
+    out, _ = jax.lax.while_loop(cond_fn, body_fn, (tw, jnp.bool_(True)))
+
+    # column-major compaction as one stable sort (no scatters): the live
+    # prefix of ids_sorted is every id in chunk order
+    counts = jnp.sum((out >= 0).astype(jnp.int32), axis=0)     # [W]
+    ids2 = out.T.reshape(-1)
+    lin = jnp.arange(L * W, dtype=jnp.int32)
+    skey = jnp.where(ids2 >= 0, lin, jnp.iinfo(jnp.int32).max)
+    _, ids_sorted = jax.lax.sort((skey, ids2), num_keys=1)
+    cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
+    gcounts = cum[gb[1:]] - cum[gb[:-1]]
+    return ids_sorted, gcounts, counts.astype(jnp.int8)
+
+
+LEN_BUCKETS = (4, 8, 16, 32, 64)
+
+
+def _get_table(merges, v, _cache):
+    if _cache is None or ("table", v) not in _cache:
+        table = build_rank_table(merges, v)
+        if _cache is not None:
+            _cache[("table", v)] = table
+    else:
+        table = _cache[("table", v)]
+    return table
+
+
+def _encode_block(flat, lens, off, table, v, gbn):
+    """One [L, W] device call over chunks of similar length.  Returns
+    (device ids_sorted, device gcounts, device per-chunk counts)."""
+    n = len(lens)
+    L = _bucket(int(lens.max(initial=1)), floor=4)
+    W = _bucket(n, floor=256)
+    tw = np.zeros((L, W), np.uint8)
+    off_rep = np.repeat(off, lens)
+    pos = np.arange(int(lens.sum())) - off_rep
+    cid = np.repeat(np.arange(n, dtype=np.int64), lens)
+    tw[pos, cid] = np.asarray(flat, np.uint8)[off_rep + pos]
+    lens_w = np.zeros(W, np.int32)
+    lens_w[:n] = lens
+    gb = np.full(_bucket(len(gbn), floor=16), n, np.int32)
+    gb[:len(gbn)] = gbn
+    return _encode_device(jnp.asarray(tw), jnp.asarray(lens_w),
+                          jnp.asarray(gb), table, v=v)
+
+
+def encode_stream(flat: np.ndarray, lens: np.ndarray, merges: np.ndarray,
+                  v: int, group_bounds: np.ndarray | None = None,
+                  _cache: dict | None = None) -> list[np.ndarray]:
+    """Encode a pre-chunked byte stream on device; ids per group.
+
+    flat: uint8 bytes of all chunks, concatenated.
+    lens: per-chunk byte lengths (each <= MAX_TW_LEN).
+    group_bounds: int chunk-index boundaries [0, ..., n_chunks] — one
+        output array per group (e.g. one group per document).  Default:
+        a single group.
+
+    Chunks are split into per-length-bucket [L, W] blocks (a chunk of
+    length l needs at most l-1 merge rounds, and the per-round rank
+    gather is the dominant cost, so short chunks — the vast majority —
+    must not ride in a tall block).  Bucket outputs re-interleave into
+    chunk order host-side from per-chunk id counts.  All shapes bucket
+    to powers of two (no steady-state recompiles); the dense rank table
+    is built ON DEVICE and cached via `_cache`.
+    """
+    n = len(lens)
+    lens = np.asarray(lens, np.int64)
+    if group_bounds is None:
+        group_bounds = np.array([0, n], np.int64)
+    gbn = np.asarray(group_bounds, np.int64)
+    g = len(gbn) - 1
+    if n == 0:
+        return [np.zeros(0, np.int32)] * g
+    flat = np.asarray(flat, np.uint8)
+    off = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=off[1:])
+    table = _get_table(merges, v, _cache)
+
+    maxlen = int(lens.max(initial=1))
+    which = np.searchsorted(np.asarray(LEN_BUCKETS), lens)
+    n_buckets = int(which.max(initial=0)) + 1
+    if n_buckets <= 1 or maxlen <= LEN_BUCKETS[0]:
+        ids_sorted, gcounts, _ = _encode_block(flat, lens, off, table, v,
+                                               gbn)
+        gc = np.asarray(gcounts)[:g]
+        ids = np.asarray(ids_sorted[: int(gc.sum())])
+        return np.split(ids, np.cumsum(gc[:-1]))
+
+    # multi-bucket: encode each length class in its own short block,
+    # then re-interleave by original chunk order
+    dev_parts = []
+    for b in range(n_buckets):
+        idx = np.nonzero(which == b)[0]
+        if len(idx) == 0:
+            dev_parts.append(None)
+            continue
+        lens_b = lens[idx]
+        off_b = np.zeros(len(idx), np.int64)
+        np.cumsum(lens_b[:-1], out=off_b[1:])
+        flat_b = flat[np.repeat(off[idx], lens_b)
+                      + (np.arange(int(lens_b.sum()))
+                         - np.repeat(off_b, lens_b))]
+        ids_sorted, _, counts = _encode_block(
+            flat_b, lens_b, off_b, table, v, np.array([0, len(idx)]))
+        dev_parts.append((idx, ids_sorted, counts))
+    # downloads happen after every dispatch is queued
+    counts_full = np.zeros(n, np.int64)
+    bucket_ids = {}
+    for b, part in enumerate(dev_parts):
+        if part is None:
+            continue
+        idx, ids_sorted, counts = part
+        cb = np.asarray(counts)[: len(idx)].astype(np.int64)
+        counts_full[idx] = cb
+        bucket_ids[b] = (idx, np.asarray(ids_sorted[: int(cb.sum())]), cb)
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(counts_full, out=out_off[1:])
+    total = int(out_off[-1])
+    out = np.zeros(total, np.int32)
+    for b, (idx, ids_b, cb) in bucket_ids.items():
+        inner = np.arange(int(cb.sum())) - np.repeat(
+            np.cumsum(cb) - cb, cb)
+        out[np.repeat(out_off[idx], cb) + inner] = ids_b
+    return np.split(out, out_off[gbn[1:-1]]) if g > 1 else [out]
+
+
 def encode_chunks(chunks: list[bytes], table: MergeTable,
-                  capacity: int | None = None) -> np.ndarray:
-    """Host convenience: encode a list of byte chunks, return flat ids."""
+                  capacity: int | None = None,
+                  return_chunk_ids: bool = False):
+    """Host convenience: encode a list of byte chunks, return flat ids
+    (optionally with each output id's chunk index).
+
+    Shapes are bucketed to powers of two (tokens >= 1024, chunks >= 64)
+    so steady-state encoding never recompiles — the trainer's _bucket
+    discipline (models/bpe.py:36) applied to the encoder.
+    """
     if not chunks:
-        return np.zeros(0, np.int32)
+        ids = np.zeros(0, np.int32)
+        return (ids, ids) if return_chunk_ids else ids
     lens = np.fromiter((len(c) for c in chunks), np.int64, len(chunks))
     total = int(lens.sum())
-    cap = capacity or max(1024, 1 << int(np.ceil(np.log2(max(total, 2)))))
+    cap = capacity or _bucket(total)
     flat = np.frombuffer(b"".join(chunks), np.uint8).astype(np.int32)
     cid = np.repeat(np.arange(len(chunks), dtype=np.int32), lens)
     tokens = np.zeros(cap, np.int32)
@@ -183,5 +423,10 @@ def encode_chunks(chunks: list[bytes], table: MergeTable,
     chunk_id = np.full(cap, -1, np.int32)
     chunk_id[:total] = cid
     st = encode_flat(jnp.asarray(tokens), jnp.asarray(chunk_id),
-                     jnp.int32(total), table, num_chunks=len(chunks))
-    return np.asarray(st.tokens)[: int(st.length)]
+                     jnp.int32(total), table,
+                     num_chunks=_bucket(len(chunks), floor=64))
+    n_out = int(st.length)
+    ids = np.asarray(st.tokens)[:n_out]
+    if return_chunk_ids:
+        return ids, np.asarray(st.chunk_id)[:n_out]
+    return ids

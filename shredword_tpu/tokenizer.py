@@ -95,6 +95,7 @@ class Tokenizer:
         self.backend = backend
         self._native = None
         self._table = None
+        self._flat_vocab = None
         self._rebuild()
 
     # ------------------------------------------------------------------
@@ -115,6 +116,7 @@ class Tokenizer:
         self._inverse_special = {v: k for k, v in self.special_tokens.items()}
         self._native = None
         self._table = None
+        self._flat_vocab = None
 
     @property
     def vocab_size(self) -> int:
@@ -150,10 +152,76 @@ class Tokenizer:
         return self._native.encode_words(word_bytes, offsets)
 
     def _encode_chunks_tpu(self, chunks: list[bytes]) -> np.ndarray:
+        return self._encode_groups_tpu(chunks, [0, len(chunks)])[0]
+
+    def _encode_groups_tpu(self, chunks: list[bytes],
+                           bounds) -> list[np.ndarray]:
+        """Device encode of chunk groups (one output array per group —
+        e.g. one group per document), all groups in ONE dispatch.
+        Chunks longer than MAX_TW_LEN (rare after pre-tokenization) are
+        spliced in via the flat-stream path."""
         from .ops import encode_ops
         if self._table is None:
-            self._table = encode_ops.build_merge_table(self.merges)
-        return encode_ops.encode_chunks(chunks, self._table)
+            self._table = {}
+        v = 256 + len(self.merges)
+        lens = np.fromiter((len(c) for c in chunks), np.int64, len(chunks))
+        if len(chunks) == 0 or lens.max(initial=0) <= encode_ops.MAX_TW_LEN:
+            flat = np.frombuffer(b"".join(chunks), np.uint8)
+            return encode_ops.encode_stream(flat, lens, self.merges, v,
+                                            bounds, self._table)
+        if "flat" not in self._table:
+            self._table["flat"] = encode_ops.build_merge_table(self.merges)
+        out: list[np.ndarray] = []
+        for gi in range(len(bounds) - 1):
+            parts: list[np.ndarray] = []
+            seg: list[bytes] = []
+            for c in chunks[bounds[gi]:bounds[gi + 1]]:
+                if len(c) <= encode_ops.MAX_TW_LEN:
+                    seg.append(c)
+                    continue
+                if seg:
+                    sl = np.fromiter((len(s) for s in seg), np.int64,
+                                     len(seg))
+                    parts.append(encode_ops.encode_stream(
+                        np.frombuffer(b"".join(seg), np.uint8), sl,
+                        self.merges, v, None, self._table)[0])
+                    seg = []
+                parts.append(encode_ops.encode_chunks(
+                    [c], self._table["flat"]))
+            if seg:
+                sl = np.fromiter((len(s) for s in seg), np.int64, len(seg))
+                parts.append(encode_ops.encode_stream(
+                    np.frombuffer(b"".join(seg), np.uint8), sl,
+                    self.merges, v, None, self._table)[0])
+            out.append(np.concatenate(parts).astype(np.int32)
+                       if parts else np.zeros(0, np.int32))
+        return out
+
+    @staticmethod
+    def _ws_chunk_lens(arr: np.ndarray) -> np.ndarray:
+        """Vectorized whitespace-keep chunk lengths (alternating word /
+        whitespace runs — whitespace_keep_split semantics over bytes)."""
+        if len(arr) == 0:
+            return np.zeros(0, np.int64)
+        ws = (arr == 32) | (arr == 9) | (arr == 13) | (arr == 10)
+        cut = np.nonzero(ws[1:] != ws[:-1])[0] + 1
+        return np.diff(np.concatenate([[0], cut, [len(arr)]]))
+
+    def _encode_text_tpu(self, data: bytes) -> np.ndarray:
+        """Whole-text device encode: the whitespace-keep chunking runs
+        as vectorized numpy over the raw bytes (no per-chunk Python
+        objects), then one encode_stream dispatch."""
+        from .ops import encode_ops
+        arr = np.frombuffer(data, np.uint8)
+        lens = self._ws_chunk_lens(arr)
+        if lens.max(initial=0) > encode_ops.MAX_TW_LEN:
+            chunks = pretokenize.whitespace_keep_split(data)
+            return self._encode_groups_tpu(chunks, [0, len(chunks)])[0]
+        if self._table is None:
+            self._table = {}
+        return encode_ops.encode_stream(
+            arr, lens, self.merges, 256 + len(self.merges), None,
+            self._table)[0]
 
     def encode_ordinary(self, text: str) -> list[int]:
         """Encode ignoring special tokens."""
@@ -166,6 +234,8 @@ class Tokenizer:
             if self._native is None:
                 self._native = NativeEncoder(self.merges)
             return self._native.encode_text(text.encode("utf-8")).tolist()
+        if not self.pattern and self.backend == "tpu":
+            return self._encode_text_tpu(text.encode("utf-8")).tolist()
         chunks = self._chunks(text)
         if not chunks:
             return []
@@ -210,25 +280,98 @@ class Tokenizer:
 
     def encode_batch(self, texts: list[str],
                      allowed_special="none_raise") -> list[list[int]]:
-        return [self.encode(t, allowed_special) for t in texts]
+        """Encode many texts.  On the tpu backend all texts' chunks are
+        concatenated into ONE flat-stream device dispatch (the whole
+        batch advances in a single lax.while_loop) and split back by
+        chunk ownership afterwards."""
+        if self.backend != "tpu" or self.special_tokens or not texts:
+            return [self.encode(t, allowed_special) for t in texts]
+        from .ops import encode_ops
+        if not self.pattern:
+            # vectorized whitespace chunking across the whole batch:
+            # one numpy pass + one encode_stream dispatch
+            arrs = [np.frombuffer(t.encode("utf-8"), np.uint8)
+                    for t in texts]
+            lens_per = [self._ws_chunk_lens(a) for a in arrs]
+            lens = (np.concatenate(lens_per) if arrs
+                    else np.zeros(0, np.int64))
+            if lens.max(initial=0) <= encode_ops.MAX_TW_LEN:
+                if self._table is None:
+                    self._table = {}
+                bounds = np.zeros(len(texts) + 1, np.int64)
+                np.cumsum([len(x) for x in lens_per], out=bounds[1:])
+                flat = (np.concatenate(arrs) if arrs
+                        else np.zeros(0, np.uint8))
+                groups = encode_ops.encode_stream(
+                    flat, lens, self.merges, 256 + len(self.merges),
+                    bounds, self._table)
+                return [g.tolist() for g in groups]
+        chunks: list[bytes] = []
+        n_chunks_per_text = []
+        for t in texts:
+            c = self._chunks(t) if t else []
+            chunks.extend(c)
+            n_chunks_per_text.append(len(c))
+        if not chunks:
+            return [[] for _ in texts]
+        bounds = np.zeros(len(texts) + 1, np.int64)
+        np.cumsum(n_chunks_per_text, out=bounds[1:])
+        return [g.tolist() for g in self._encode_groups_tpu(chunks, bounds)]
 
     # ------------------------------------------------------------------
     # decode
     # ------------------------------------------------------------------
 
+    def _decode_table(self):
+        """Flat vocab byte buffer + offsets for vectorized decode.  Slot
+        vocab_size is the replacement token; ids outside the table map
+        there."""
+        if self._flat_vocab is None:
+            n = max(self.vocab, default=-1) + 1
+            pieces = [self.vocab.get(i, b"") for i in range(n)]
+            pieces.append(_REPLACEMENT.encode("utf-8"))
+            known = np.zeros(n + 1, bool)
+            known[:n] = [i in self.vocab for i in range(n)]
+            lens = np.fromiter((len(p) for p in pieces), np.int64, n + 1)
+            off = np.zeros(n + 2, np.int64)
+            np.cumsum(lens, out=off[1:])
+            flat = np.frombuffer(b"".join(pieces), np.uint8)
+            self._flat_vocab = (flat, off, lens, known, n)
+        return self._flat_vocab
+
     def decode_bytes(self, ids, errors: str = "strict") -> bytes:
-        out = []
-        for i in ids:
-            i = int(i)
-            b = self.vocab.get(i)
-            if b is None:
-                if errors == "strict":
-                    raise DecodeError(f"invalid token id {i}")
-                if errors == "replace":
-                    out.append(_REPLACEMENT.encode("utf-8"))
-                continue  # "ignore"
-            out.append(b)
-        return b"".join(out)
+        """ids -> bytes, vectorized (one table gather, no per-id Python).
+
+        errors: "strict" raises on unknown ids, "replace" substitutes
+        U+FFFD, "ignore" drops them.
+        """
+        ids = np.asarray(ids, dtype=np.int64).reshape(-1)
+        if len(ids) == 0:
+            return b""
+        flat, off, lens, known, n = self._decode_table()
+        bad = (ids < 0) | (ids >= n)
+        ok = ~bad
+        ok[ok] = known[ids[ok]]
+        bad = ~ok
+        if bad.any():
+            if errors == "strict":
+                raise DecodeError(
+                    f"invalid token id {int(ids[bad][0])}")
+            if errors == "replace":
+                ids = np.where(bad, n, ids)
+            elif errors == "ignore":
+                ids = ids[~bad]
+            else:
+                raise DecodeError(f"unknown errors mode {errors!r}")
+        piece_len = lens[ids]
+        total = int(piece_len.sum())
+        if total == 0:
+            return b""
+        max_len = int(piece_len.max())
+        base = np.arange(max_len, dtype=np.int64)
+        src = off[ids][:, None] + base[None, :]
+        mask = base[None, :] < piece_len[:, None]
+        return flat[src[mask]].tobytes()
 
     def decode(self, ids, errors: str = "replace") -> str:
         """ids -> text.  Byte-level errors use utf-8 'replace' so any id

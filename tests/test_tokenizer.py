@@ -153,3 +153,40 @@ def test_load_binary_model(trained, tmp_path):
     np.testing.assert_array_equal(tok.merges, trained.merges)
     text = "binary model load"
     assert tok.decode(tok.encode(text)) == text
+
+
+def test_decode_vectorized_error_modes():
+    from shredword_tpu.tokenizer import Tokenizer
+    from shredword_tpu.errors import DecodeError
+    import numpy as np
+    import pytest
+    tok = Tokenizer(merges=np.array([[104, 105]], np.int32))  # "hi"
+    assert tok.decode_bytes([104, 105, 256]) == b"hihi"
+    assert tok.decode_bytes(np.array([256, 33])) == b"hi!"
+    with pytest.raises(DecodeError):
+        tok.decode_bytes([256, 999], errors="strict")
+    assert tok.decode_bytes([104, 999], errors="ignore") == b"h"
+    assert tok.decode_bytes([999], errors="replace").decode() == "�"
+    assert tok.decode_bytes([]) == b""
+    # round-trip through the full id range
+    text = "hello high hills"
+    assert tok.decode(tok.encode(text)) == text
+
+
+def test_encode_batch_tpu_single_dispatch_matches_per_text():
+    from shredword_tpu.tokenizer import Tokenizer
+    import numpy as np
+    rng = np.random.default_rng(3)
+    corpus = [" ".join("".join(chr(97 + c) for c in rng.integers(0, 26, 5))
+                       for _ in range(20)) for _ in range(8)] + ["", "a"]
+    # train a tiny model on the joined text via the public API
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "c.txt")
+        with open(p, "w") as f:
+            f.write("\n".join(corpus))
+        tok = Tokenizer.train(p, vocab_size=300, min_pair_freq=1)
+    tok.backend = "tpu"
+    batch = tok.encode_batch(corpus)
+    single = [tok.encode(t) for t in corpus]
+    assert batch == single
