@@ -112,23 +112,78 @@ class UnigramTrainer:
         """Mask of pieces that may never be pruned (single bytes)."""
         return np.asarray([len(p) == 1 for p in pieces])
 
+    def _loss_delta_keep(self, pieces, logp, exp_counts) -> np.ndarray:
+        """SentencePiece-style loss-delta pruning mask.
+
+        For each prunable piece p: segment p's own string with the
+        current model EXCLUDING the whole-string arc (mask that one
+        table cell, batched device Viterbi).  Removing p re-routes its
+        expected frequency F_p through that alternative, so the
+        likelihood loss is F_p * (logp_p - alt_p).  Keep the
+        shrink_factor fraction with the largest loss; single bytes and
+        pieces with no alternative are unprunable."""
+        from ..ops import unigram_ops
+        cfg = self.config
+        required = self._required(pieces)
+        loss = np.full(len(pieces), np.inf)
+        prunable = np.nonzero(~required)[0]
+        lp64 = np.asarray(logp, np.float64)
+        for s in range(0, len(prunable), self.EM_SLAB_WORDS):
+            idx = prunable[s:s + self.EM_SLAB_WORDS]
+            strs = [pieces[i] for i in idx]
+            L = max(2, max(len(p) for p in strs))
+            table = native.piece_table(strs, pieces, L,
+                                       min(cfg.max_piece_len, L))
+            for row, i in enumerate(idx):      # mask the identity arc
+                table[row, 0, len(pieces[i]) - 1] = -1
+            wlen = np.asarray([len(p) for p in strs], np.int32)
+            segs, scores = unigram_ops.viterbi(
+                table, wlen, np.asarray(logp, np.float32),
+                return_scores=True)
+            alt = np.asarray(scores, np.float64)
+            f = exp_counts[idx]
+            d = f * (lp64[idx] - alt)
+            d = np.where(np.isfinite(alt), d, np.inf)  # no alt: keep
+            loss[idx] = d
+        keep_n = max(cfg.target_vocab_size,
+                     int(len(pieces) * cfg.shrink_factor))
+        keep = required.copy()
+        slots = keep_n - int(keep.sum())
+        if slots > 0:
+            order = prunable[np.argsort(-loss[prunable], kind="stable")]
+            keep[order[:slots]] = True
+        # anything whose removal makes some string unsegmentable stays
+        keep[np.isinf(loss) & ~required] = True
+        return keep
+
     # ------------------------------------------------------------------
 
-    def _e_step(self, pieces, logp, table=None):
-        """Expected piece counts + total log likelihood (device DP).
-        `table` may be precomputed (pieces unchanged between EM rounds —
-        only logp varies)."""
+    # words per E-step slab: bounds the [W, L, K] piece-table working
+    # set (int32) to ~126 MB at L=32, K=15 regardless of corpus size
+    EM_SLAB_WORDS = 65536
+
+    def _e_step(self, pieces, logp):
+        """Expected piece counts + total log likelihood (device DP),
+        slab-batched so the piece table never materializes for the whole
+        corpus at once (unique words stream through in fixed-size
+        slabs; shapes bucket, so every slab reuses one executable)."""
         from ..ops import unigram_ops
         L = self.config.max_word_len
         K = self.config.max_piece_len
-        if table is None:
-            table = native.piece_table(self._words, pieces, L, K)
         wlen = np.asarray([len(w) for w in self._words], np.int32)
-        exp_counts, ll = unigram_ops.forward_backward(
-            table, wlen, self._wcounts.astype(np.float32),
-            np.asarray(logp, np.float32), len(pieces),
-            backend=self.config.backend)
-        return np.asarray(exp_counts, np.float64), float(ll)
+        wc = self._wcounts.astype(np.float32)
+        lp = np.asarray(logp, np.float32)
+        total = np.zeros(len(pieces), np.float64)
+        ll = 0.0
+        for s in range(0, len(self._words), self.EM_SLAB_WORDS):
+            e = min(s + self.EM_SLAB_WORDS, len(self._words))
+            table = native.piece_table(self._words[s:e], pieces, L, K)
+            c, l = unigram_ops.forward_backward(
+                table, wlen[s:e], wc[s:e], lp, len(pieces),
+                backend=self.config.backend)
+            total += np.asarray(c, np.float64)
+            ll += float(l)
+        return total, ll
 
     def train(self) -> int:
         if self._words is None:
@@ -140,11 +195,8 @@ class UnigramTrainer:
         log.info("Unigram seed: %d pieces", len(pieces))
 
         while True:
-            table = native.piece_table(self._words, pieces,
-                                       cfg.max_word_len,
-                                       cfg.max_piece_len)
             for r in range(cfg.num_em_rounds):
-                exp_counts, ll = self._e_step(pieces, logp, table=table)
+                exp_counts, ll = self._e_step(pieces, logp)
                 tot = exp_counts.sum()
                 with np.errstate(divide="ignore"):
                     logp = np.where(exp_counts > 0,
@@ -154,29 +206,14 @@ class UnigramTrainer:
                              len(pieces), -ll)
             if len(pieces) <= cfg.target_vocab_size:
                 break
-            # prune: drop lowest-contribution prunable pieces
-            required = self._required(pieces)
-            contribution = exp_counts * np.where(logp > -1e29, logp, 0)
-            # less negative contribution == less important
-            order = np.argsort(-contribution)  # most negative last
-            keep_n = max(cfg.target_vocab_size,
-                         int(len(pieces) * cfg.shrink_factor))
-            keep = required.copy()
-            slots = keep_n - int(required.sum())
-            for idx in order[::-1]:  # most important first
-                if slots <= 0:
-                    break
-                if not keep[idx]:
-                    keep[idx] = True
-                    slots -= 1
+            keep = self._loss_delta_keep(pieces, logp, exp_counts)
             new_pieces = [p for p, k in zip(pieces, keep) if k]
             if len(new_pieces) == len(pieces):
                 log.warning(
                     "unigram prune cannot shrink below %d required "
-                    "pieces (target %d); stopping", int(required.sum()),
+                    "pieces (target %d); stopping",
+                    int(self._required(pieces).sum()),
                     cfg.target_vocab_size)
-                pieces = new_pieces
-                logp = logp[keep]
                 break
             pieces = new_pieces
             logp = logp[keep]
@@ -212,13 +249,22 @@ class UnigramTrainer:
 
 
 class UnigramTokenizer:
-    """Viterbi segmentation with a trained unigram model."""
+    """Viterbi segmentation with a trained unigram model.
+
+    encode() runs the BATCHED DEVICE Viterbi (ops/unigram_ops.viterbi)
+    over the deduplicated words of the input — one dispatch per slab —
+    with a persistent word -> ids memo; the per-word host DP remains
+    only as the fallback for words beyond the device layout bound."""
+
+    DEVICE_WORD_CAP = 64        # device-lattice word length bound
+    ENC_SLAB_WORDS = 32768      # bounds the [W, L, K] lookup table
 
     def __init__(self, pieces: list[bytes], log_probs: np.ndarray):
         self.pieces = pieces
         self.log_probs = np.asarray(log_probs, np.float64)
         self._index = {p: i for i, p in enumerate(pieces)}
         self._max_len = max((len(p) for p in pieces), default=1)
+        self._memo: dict[bytes, list[int]] = {}
 
     @classmethod
     def load(cls, model_path: str) -> "UnigramTokenizer":
@@ -251,12 +297,38 @@ class UnigramTokenizer:
 
     def encode(self, text: str) -> list[int]:
         norm = native.normalize(text.encode())
-        out: list[int] = []
+        words: list[bytes] = []
         for line in norm.split(b"\n"):
             for raw in line.split(_MARKER):
                 if raw:
-                    out.extend(self.encode_word(_MARKER + raw))
+                    words.append(_MARKER + raw)
+        self._segment_new(words)
+        out: list[int] = []
+        for w in words:
+            out.extend(self._memo[w])
         return out
+
+    def _segment_new(self, words: list[bytes]) -> None:
+        """Device-Viterbi any not-yet-memoized words (deduplicated,
+        slab-batched); oversized words fall back to the host DP."""
+        from ..ops import unigram_ops
+        fresh: dict[bytes, None] = {}
+        for w in words:
+            if w not in self._memo:
+                fresh[w] = None
+        dev = [w for w in fresh if len(w) <= self.DEVICE_WORD_CAP]
+        for s in range(0, len(dev), self.ENC_SLAB_WORDS):
+            slab = dev[s:s + self.ENC_SLAB_WORDS]
+            L = max(len(w) for w in slab)
+            table = native.piece_table(slab, self.pieces, max(L, 2),
+                                       min(self._max_len, max(L, 2)))
+            wlen = np.asarray([len(w) for w in slab], np.int32)
+            segs = unigram_ops.viterbi(
+                table, wlen, np.asarray(self.log_probs, np.float32))
+            self._memo.update(zip(slab, segs))
+        for w in fresh:
+            if len(w) > self.DEVICE_WORD_CAP:
+                self._memo[w] = self.encode_word(w)
 
     def decode(self, ids) -> str:
         data = b"".join(self.pieces[i] for i in ids)

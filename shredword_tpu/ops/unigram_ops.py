@@ -158,22 +158,54 @@ def _fb_numpy(ids_s, ids_e, lp_ext, wlen, wcount, n_pieces: int):
     return counts[:n_pieces], ll
 
 
+def _pow2(n: int, floor: int = 256) -> int:
+    c = floor
+    while c < n:
+        c *= 2
+    return c
+
+
 def forward_backward(table: np.ndarray, wlen: np.ndarray,
                      wcount: np.ndarray, logp: np.ndarray, n_pieces: int,
                      backend: str = "tpu"):
     """Expected piece counts + corpus log likelihood.
 
     table: int32[W, L, K] start-indexed piece ids (-1 = absent)
+
+    Device shapes bucket to powers of two in both W and n_pieces, so EM
+    rounds and prune rounds reuse one executable instead of recompiling
+    as the piece set shrinks.
     """
     ids_s, ids_e, lp_ext = _tables(table, logp)
     if backend == "cpu":
         return _fb_numpy(ids_s, ids_e, lp_ext, wlen,
                          wcount.astype(np.float64), n_pieces)
+    w = table.shape[0]
+    wb = _pow2(w)
+    nb = _pow2(n_pieces)
+    if wb != w:
+        pad = wb - w
+        ids_s = np.pad(ids_s, ((0, 0), (0, pad), (0, 0)),
+                       constant_values=-1)
+        ids_e = np.pad(ids_e, ((0, 0), (0, pad), (0, 0)),
+                       constant_values=-1)
+        wlen = np.pad(wlen, (0, pad))
+        wcount = np.pad(wcount, (0, pad))
+    if nb != n_pieces:
+        # lp_ext = [logp..., -inf]; keep the missing-piece slot LAST
+        lp_ext = np.concatenate([lp_ext[:-1],
+                                 np.full(nb - n_pieces, -np.inf,
+                                         np.float32),
+                                 lp_ext[-1:]])
+        ids_s = np.where(ids_s >= 0, ids_s, nb)
+        ids_e = np.where(ids_e >= 0, ids_e, nb)
+        # _fb_device maps negatives to its own sentinel; ids are already
+        # remapped, so pass them through
     dev_args = (jnp.asarray(ids_s), jnp.asarray(ids_e),
                 jnp.asarray(lp_ext), jnp.asarray(wlen),
                 jnp.asarray(wcount))
-    counts, ll = _fb_device(*dev_args, n_pieces=n_pieces)
-    return np.asarray(counts), float(ll)
+    counts, ll = _fb_device(*dev_args, n_pieces=nb)
+    return np.asarray(counts)[:n_pieces], float(ll)
 
 
 @partial(jax.jit, static_argnames=())
@@ -195,28 +227,44 @@ def _viterbi_device(ids_e, lp_ext, wlen):
     return score, back
 
 
-def viterbi(table: np.ndarray, wlen: np.ndarray, logp: np.ndarray):
-    """Batched Viterbi segmentation.  Returns list of piece-id lists."""
+def viterbi(table: np.ndarray, wlen: np.ndarray, logp: np.ndarray,
+            return_scores: bool = False):
+    """Batched Viterbi segmentation.  Returns list of piece-id lists
+    (plus per-word best-path scores when return_scores).
+    W buckets to a power of two (no per-batch-size recompiles)."""
     ids_s, ids_e, lp_ext = _tables(table, logp)
+    w = table.shape[0]
+    wb = _pow2(w)
+    if wb != w:
+        ids_e = np.pad(ids_e, ((0, 0), (0, wb - w), (0, 0)),
+                       constant_values=-1)
+        wlen = np.pad(np.asarray(wlen), (0, wb - w))
     score, back = _viterbi_device(jnp.asarray(ids_e), jnp.asarray(lp_ext),
                                   jnp.asarray(wlen))
     back = np.asarray(back)            # [L, W] best piece length - 1
     score_np = np.asarray(score)
     ids_s_np = ids_s                   # [L, W, K]
     out = []
-    for w in range(table.shape[0]):
-        n_w = int(wlen[w])
-        if n_w > 0 and not np.isfinite(score_np[n_w - 1, w]):
+    final = np.zeros(table.shape[0])
+    for w_i in range(table.shape[0]):
+        n_w = int(wlen[w_i])
+        final[w_i] = score_np[n_w - 1, w_i] if n_w > 0 else 0.0
+        if n_w > 0 and not np.isfinite(final[w_i]):
+            if return_scores:          # caller handles unsegmentable
+                out.append([])
+                continue
             from ..errors import EncodeError
             raise EncodeError(
-                f"word {w} cannot be segmented with this piece set "
+                f"word {w_i} cannot be segmented with this piece set "
                 "(missing byte pieces)")
         ids = []
         j = n_w
         while j > 0:
-            k = int(back[j - 1, w])
+            k = int(back[j - 1, w_i])
             start = j - (k + 1)
-            ids.append(int(ids_s_np[start, w, k]))
+            ids.append(int(ids_s_np[start, w_i, k]))
             j = start
         out.append(ids[::-1])
+    if return_scores:
+        return out, final
     return out
