@@ -219,6 +219,27 @@ def measure_encode() -> dict:
             "n_ids": len(ids), "n_ids_tpu": len(flat)}
 
 
+def measure_presplit() -> dict:
+    """GPT-pattern pre-split MB/s: native scanner vs the regex module
+    (BASELINE config 4)."""
+    from shredword_tpu import pretokenize
+    from shredword_tpu.pretokenize import _compiled
+    text = open(CORPUS).read()[: 8 * 10**6]
+    data = text.encode()
+    nb = len(data) / 1e6
+    pretokenize.gpt_starts_bytes(data[:1000])     # class table warm-up
+    t0 = time.perf_counter()
+    starts = pretokenize.gpt_starts_bytes(data)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    want = _compiled(pretokenize.PATTERN_GPT).findall(text)
+    t_regex = time.perf_counter() - t0
+    if len(want) != len(starts):
+        raise RuntimeError("pre-split parity failure")
+    return {"native": nb / t_native, "regex": nb / t_regex,
+            "x": t_regex / t_native}
+
+
 def main() -> None:
     make_corpus(CORPUS)
     raw_bytes = os.path.getsize(CORPUS)
@@ -238,6 +259,14 @@ def main() -> None:
         f"[bench] corpus {mb:.1f} MB; reference: {ref_dt:.2f}s "
         f"({ref_n} merges, {base:.1f} MB/s); tpu: {tpu_dt:.2f}s "
         f"({tpu_n} merges, {ours:.1f} MB/s)\n")
+    try:
+        pre = measure_presplit()
+        sys.stderr.write(
+            f"[bench] gpt pre-split: native {pre['native']:.0f} MB/s vs "
+            f"regex module {pre['regex']:.1f} MB/s ({pre['x']:.0f}x, "
+            f"output identical)\n")
+    except Exception as e:
+        sys.stderr.write(f"[bench] pre-split side-metric failed: {e}\n")
     try:
         e = measure_encode()
         sys.stderr.write(

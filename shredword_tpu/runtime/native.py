@@ -119,6 +119,9 @@ def _declare(L: ctypes.CDLL) -> None:
                                     ctypes.c_char_p, ctypes.c_void_p, i64,
                                     i64, i64, ctypes.c_void_p]
     L.shred_piece_table.restype = i64
+    L.shred_gpt_starts.argtypes = [ctypes.c_char_p, i64, ctypes.c_void_p,
+                                   ctypes.c_void_p, i64]
+    L.shred_gpt_starts.restype = i64
 
 
 def _ptr(a: np.ndarray):
@@ -422,3 +425,17 @@ def piece_table(words: list[bytes], pieces: list[bytes], lmax: int,
                             _ptr(plens), len(pieces), lmax, max_piece_len,
                             _ptr(out))
     return out
+
+
+def gpt_starts_bytes(data: bytes, cls_table: np.ndarray) -> np.ndarray:
+    """Chunk-start byte offsets of the GPT pre-split pattern (native
+    single-pass scanner, csrc/pretok.cpp; classes from
+    ops/pretok_ops.class_table)."""
+    if not data:
+        return np.zeros(0, np.int64)
+    cap = len(data) + 1
+    out = np.empty(cap, np.int64)
+    table = np.ascontiguousarray(cls_table, np.int8)
+    n = lib().shred_gpt_starts(data, len(data), _ptr(table), _ptr(out),
+                               cap)
+    return out[:n].copy()

@@ -236,6 +236,33 @@ class Tokenizer:
             return self._native.encode_text(text.encode("utf-8")).tolist()
         if not self.pattern and self.backend == "tpu":
             return self._encode_text_tpu(text.encode("utf-8")).tolist()
+        if self.pattern in ("gpt", pretokenize.PATTERN_GPT):
+            # byte-level fast path: native GPT scanner gives chunk
+            # offsets directly — no per-chunk Python strings
+            data = text.encode("utf-8")
+            try:
+                starts = pretokenize.gpt_starts_bytes(data)
+            except Exception:
+                starts = None
+            if starts is not None:
+                lens = np.diff(np.concatenate([starts, [len(data)]]))
+                from .ops import encode_ops
+                if self.backend == "tpu" and len(lens) \
+                        and lens.max() <= encode_ops.MAX_TW_LEN:
+                    if self._table is None:
+                        self._table = {}
+                    arr = np.frombuffer(data, np.uint8)
+                    return encode_ops.encode_stream(
+                        arr, lens, self.merges, 256 + len(self.merges),
+                        None, self._table)[0].tolist()
+                if self.backend == "cpu":
+                    from .runtime.native import NativeEncoder
+                    if self._native is None:
+                        self._native = NativeEncoder(self.merges)
+                    offsets = np.concatenate(
+                        [starts, [len(data)]]).astype(np.int64)
+                    return self._native.encode_words(
+                        np.frombuffer(data, np.uint8), offsets).tolist()
         chunks = self._chunks(text)
         if not chunks:
             return []
