@@ -457,7 +457,7 @@ class BPETrainer:
                             np.iinfo(np.int32).max).astype(np.int32)
         interpret = jax.default_backend() != "tpu"
         cb = None
-        steps = 512
+        steps = None   # engine-specific default cadence (bpe_hist)
         if cfg.checkpoint_path and cfg.checkpoint_every:
             from .. import checkpoint as ckpt
             steps = cfg.checkpoint_every

@@ -582,6 +582,14 @@ def _giant_init_tables(tw, wc, unk_id, *, v: int):
     return hist4, rowmax
 
 
+def _is_resource_error(e: Exception) -> bool:
+    """True for Mosaic/XLA out-of-on-chip-memory compile failures."""
+    msg = repr(e).lower()
+    return any(k in msg for k in
+               ("smem", "scalar memory", "vmem", "resource",
+                "exceed", "out of memory", "mosaic"))
+
+
 def giant_train(tokens: np.ndarray, word_id: np.ndarray,
                 wcount: np.ndarray, *, target_merges: int,
                 unk_id: int = -1, min_pair_freq: int = 2,
@@ -625,8 +633,20 @@ def giant_train(tokens: np.ndarray, word_id: np.ndarray,
         allowed = target_merges - len(merges_np)
         scal = jnp.array([unk_id, min_pair_freq, len(merges_np), done,
                           allowed, nc_used], jnp.int32)
-        tw, hist4, presT, rowmax, mrows = giant(
-            lens, scal, wc, tw, hist4, presT, rowmax)
+        try:
+            tw, hist4, presT, rowmax, mrows = giant(
+                lens, scal, wc, tw, hist4, presT, rowmax)
+        except Exception as e:  # noqa: BLE001 — compile-time only
+            # The (1, NC) SMEM flag-scan scratch (and the scalar-prefetch
+            # lens) grow with the word count; near MAX_NC they can exceed
+            # the chip's scalar memory, which surfaces as a Mosaic
+            # compile error rather than a layout-time bound.  Treat an
+            # out-of-resource FIRST dispatch as "outside the envelope"
+            # (return None so hist_train/flat take over), exactly like
+            # the word-length/vocab/word-count checks above.
+            if len(merges_np) == 0 and _is_resource_error(e):
+                return None
+            raise
         rows = np.asarray(mrows[::8, :4])       # 16 bytes per merge step
         did = rows[:, 3] != 0
         n_new = int(did.sum())

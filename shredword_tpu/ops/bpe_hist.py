@@ -1056,7 +1056,8 @@ def make_train_loop_sparse(v: int, L: int, W: int, *, target_merges: int,
 def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
                *, target_merges: int, unk_id: int = -1,
                min_pair_freq: int = 2, max_word_len: int = 64,
-               max_steps_per_call: int = 512, interpret: bool = False,
+               max_steps_per_call: int | None = None,
+               interpret: bool = False,
                sparse: bool = False, progress_cb=None,
                lazy_final: bool = False, _cache={}):
     # sparse (chunk-skipping, manual DMA) measured SLOWER than the dense
@@ -1067,6 +1068,13 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
     final word_id) or None if the layout does not fit."""
     from . import bpe_giant
 
+    # Engine-specific dispatch cadences: the fused VMEM kernel defaults
+    # to 512 merges per call, the giant engine amortizes its HBM-table
+    # grid over 4096.  An EXPLICIT caller value (checkpoint cadence,
+    # fine-grained progress) is honored by both engines verbatim.
+    fused_steps = 512 if max_steps_per_call is None else max_steps_per_call
+    giant_steps = 4096 if max_steps_per_call is None else max_steps_per_call
+
     v = 256 + target_merges
     v = -(-v // 128) * 128
     if v > 4096:
@@ -1076,7 +1084,7 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
             tokens, word_id, wcount, target_merges=target_merges,
             unk_id=unk_id, min_pair_freq=min_pair_freq,
             max_word_len=max_word_len,
-            steps_per_call=max(max_steps_per_call, 4096),
+            steps_per_call=giant_steps,
             interpret=interpret, progress_cb=progress_cb,
             lazy_final=lazy_final)
     c = build_layout(tokens, word_id, wcount, max_word_len,
@@ -1087,7 +1095,7 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
     ts = None
     if sparse:
         ts = _sparse_drive(c, v, unk_id, min_pair_freq, target_merges,
-                           max_steps_per_call, interpret, _cache,
+                           fused_steps, interpret, _cache,
                            progress_cb)
     if ts is None:   # sparse drive declined -> still try the fastest path
         # fastest path: the whole merge loop in one kernel, table and
@@ -1095,7 +1103,7 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
         ts = fused_hist_train(
             c, v, target_merges=target_merges, unk_id=unk_id,
             min_pair_freq=min_pair_freq,
-            steps_per_call=max_steps_per_call, interpret=interpret,
+            steps_per_call=fused_steps, interpret=interpret,
             progress_cb=progress_cb, _cache=_cache)
     if ts is None:
         # corpus too large for the VMEM-resident fused kernel: the giant
@@ -1105,7 +1113,7 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
             tokens, word_id, wcount, target_merges=target_merges,
             unk_id=unk_id, min_pair_freq=min_pair_freq,
             max_word_len=max_word_len,
-            steps_per_call=max(max_steps_per_call, 4096),
+            steps_per_call=giant_steps,
             interpret=interpret, progress_cb=progress_cb,
             lazy_final=lazy_final)
         if out is not None:
@@ -1114,11 +1122,11 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
         ts = hist_train_init(c, unk_id, max(target_merges, 1), v)
         ts = ts._replace(corpus=HistCorpus(
             ts.corpus.tw.astype(jnp.int16), ts.corpus.wcount))
-        key = (v, L, W, target_merges, max_steps_per_call, interpret)
+        key = (v, L, W, target_merges, fused_steps, interpret)
         if key not in _cache:
             _cache[key] = make_train_loop(
                 v, L, W, target_merges=target_merges,
-                max_steps=max_steps_per_call, interpret=interpret)
+                max_steps=fused_steps, interpret=interpret)
         loop = _cache[key]
         while True:
             n_before = int(ts.n_merges)

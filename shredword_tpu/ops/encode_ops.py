@@ -215,12 +215,12 @@ def _shift_down_n(x, s):
     return jnp.concatenate([jnp.full_like(x[:s], -1), x[:-s]], axis=0)
 
 
-@partial(jax.jit, static_argnames=("v",))
-def _encode_device(tw_u8: jax.Array, lens: jax.Array, gb: jax.Array,
-                   table_flat: jax.Array, *, v: int):
+def _encode_core(tw_u8: jax.Array, lens: jax.Array, gb: jax.Array,
+                 rank_of):
     """Device half of encode_stream: expand uint8[L, W] + lens to the
     -1-padded int32 layout, run the merge loop, compact column-major,
-    and count ids per group.
+    and count ids per group.  ``rank_of(t, nxt, valid)`` supplies the
+    pair->rank lookup (dense table or hash probe).
 
     Each round merges, in every column independently, ALL occurrences of
     that column's lowest-rank pair (greedy left-to-right within runs) —
@@ -241,8 +241,7 @@ def _encode_device(tw_u8: jax.Array, lens: jax.Array, gb: jax.Array,
         t, _ = carry
         nxt = _shift_up_rows(t, -1)
         valid = (t >= 0) & (nxt >= 0)
-        key = jnp.where(valid, t * v + nxt, 0)
-        rank = jnp.where(valid, table_flat[key], RANK_INF)
+        rank = rank_of(t, nxt, valid)
         rmin = jnp.min(rank, axis=0, keepdims=True)      # [1, W]
         m = (rank == rmin) & (rank < RANK_INF)
         # greedy overlap rule as a log-step parity scan down rows (the
@@ -288,12 +287,44 @@ def _encode_device(tw_u8: jax.Array, lens: jax.Array, gb: jax.Array,
     return ids_sorted, gcounts, counts.astype(jnp.int8)
 
 
+@partial(jax.jit, static_argnames=("v",))
+def _encode_device(tw_u8: jax.Array, lens: jax.Array, gb: jax.Array,
+                   table_flat: jax.Array, *, v: int):
+    """Dense-table variant: one gather per round into int32[v*v]."""
+    def rank_of(t, nxt, valid):
+        key = jnp.where(valid, t * v + nxt, 0)
+        return jnp.where(valid, table_flat[key], RANK_INF)
+
+    return _encode_core(tw_u8, lens, gb, rank_of)
+
+
+@partial(jax.jit, static_argnames=("max_probe",))
+def _encode_device_hash(tw_u8: jax.Array, lens: jax.Array, gb: jax.Array,
+                        ka: jax.Array, kb: jax.Array, rk: jax.Array, *,
+                        max_probe: int):
+    """Hash-probe variant for big vocabs: the dense [v, v] table at
+    v = 32k would be ~4.3 GB of HBM; the open-addressing MergeTable is
+    O(len(merges)) with a handful of gathers per round."""
+    def rank_of(t, nxt, valid):
+        return lookup_ranks(MergeTable(ka, kb, rk, max_probe),
+                            t, nxt, valid)
+
+    return _encode_core(tw_u8, lens, gb, rank_of)
+
+
 LEN_BUCKETS = (4, 8, 16, 32, 64)
+
+# Above this vocab the dense v*v rank table (v*v*4 bytes; 64 MB at 4096)
+# is replaced by the O(merges) hash-probe MergeTable.
+DENSE_V_MAX = 4096
 
 
 def _get_table(merges, v, _cache):
     if _cache is None or ("table", v) not in _cache:
-        table = build_rank_table(merges, v)
+        if v <= DENSE_V_MAX:
+            table = build_rank_table(merges, v)
+        else:
+            table = build_merge_table(np.asarray(merges))
         if _cache is not None:
             _cache[("table", v)] = table
     else:
@@ -316,6 +347,10 @@ def _encode_block(flat, lens, off, table, v, gbn):
     lens_w[:n] = lens
     gb = np.full(_bucket(len(gbn), floor=16), n, np.int32)
     gb[:len(gbn)] = gbn
+    if isinstance(table, MergeTable):
+        return _encode_device_hash(
+            jnp.asarray(tw), jnp.asarray(lens_w), jnp.asarray(gb),
+            table.ka, table.kb, table.rank, max_probe=table.max_probe)
     return _encode_device(jnp.asarray(tw), jnp.asarray(lens_w),
                           jnp.asarray(gb), table, v=v)
 

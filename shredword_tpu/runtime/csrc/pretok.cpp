@@ -45,19 +45,29 @@ struct Scanner {
   const int8_t* table;   // codepoint -> class
   int64_t pos = 0;       // byte position
 
-  // decode the char at byte p; returns class, sets next byte position
+  // decode the char at byte p; returns class, sets next byte position.
+  // Malformed UTF-8 (stray continuation, out-of-range lead, bad
+  // continuation byte, cp >= 0x110000) classifies as K_OTHER and advances
+  // past the bytes consumed so far — never indexes table[] out of range.
   inline int8_t cls_at(int64_t p, int64_t* nxt) const {
     if (p >= n) { *nxt = p; return K_EOF; }
     uint8_t b0 = s[p];
     uint32_t cp;
     int len;
     if (b0 < 0x80) { cp = b0; len = 1; }
+    else if (b0 < 0xC0 || b0 > 0xF4) { *nxt = p + 1; return K_OTHER; }
     else if (b0 < 0xE0) { cp = b0 & 0x1F; len = 2; }
     else if (b0 < 0xF0) { cp = b0 & 0x0F; len = 3; }
     else { cp = b0 & 0x07; len = 4; }
-    for (int i = 1; i < len && p + i < n; i++)
+    for (int i = 1; i < len; i++) {
+      if (p + i >= n || (s[p + i] & 0xC0) != 0x80) {
+        *nxt = p + i;
+        return K_OTHER;
+      }
       cp = (cp << 6) | (s[p + i] & 0x3F);
-    *nxt = p + len > n ? n : p + len;
+    }
+    *nxt = p + len;
+    if (cp >= 0x110000) return K_OTHER;
     return table[cp];
   }
 };
