@@ -183,40 +183,51 @@ def check_device_engines() -> None:
                      "(model+vocab bit-identical)\n")
 
 
+def _best_mbs(fn, nbytes: float, trials: int = 3) -> float:
+    """Steady-state MB/s: best of `trials` (first call is warm already;
+    remaining variance is tunnel jitter and page-fault noise)."""
+    best = 0.0
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        fn()
+        best = max(best, nbytes / 1e6 / (time.perf_counter() - t0))
+    return best
+
+
 def measure_encode() -> dict:
     """Encode/decode MB/s on a trained model — side report only
-    (BASELINE.md config 3: cpu native encode, tpu batch encode, and the
-    vectorized decode)."""
+    (BASELINE.md config 3: cpu native encode, tpu whole-text + batch
+    encode, and the vectorized decode; array API)."""
     from shredword_tpu import Tokenizer
     tok = Tokenizer.train(CORPUS, vocab_size=VOCAB, min_pair_freq=MIN_FREQ,
                           character_coverage=COVERAGE, backend="cpu",
                           tie_break="faithful")
     text = open(CORPUS).read()[: 4 * 10**6]
     nbytes = len(text.encode())
-    t0 = time.perf_counter()
-    ids = tok.encode(text)
-    cpu_mbs = nbytes / 1e6 / (time.perf_counter() - t0)
+    ids = tok.encode_array(text)             # warm
+    cpu_mbs = _best_mbs(lambda: tok.encode_array(text), nbytes)
 
-    t0 = time.perf_counter()
-    out = tok.decode(ids)
-    dec_mbs = nbytes / 1e6 / (time.perf_counter() - t0)
-    assert out == text
+    assert tok.decode(ids) == text
+    dec_mbs = _best_mbs(lambda: tok.decode(ids), nbytes)
 
-    # tpu batch encode: the text split into document-sized pieces, all
-    # encoded in ONE device dispatch (shape-bucketed: steady state does
-    # not recompile)
+    # tpu whole-text encode (one dispatch over deduped chunks)
     tok.backend = "tpu"
+    tpu_ids = tok.encode_array(text)         # warm-up: compile
+    assert np.array_equal(np.asarray(tpu_ids, np.int64),
+                          np.asarray(ids, np.int64))
+    tpu_mbs = _best_mbs(lambda: tok.encode_array(text), nbytes)
+
+    # tpu batch encode: the text split into document-sized pieces,
+    # shape-bucketed (steady state does not recompile)
     docs = [text[i:i + 65536] for i in range(0, len(text), 65536)]
-    tpu_ids = tok.encode_batch(docs)         # warm-up: compile
-    t0 = time.perf_counter()
-    tpu_ids = tok.encode_batch(docs)
-    tpu_mbs = nbytes / 1e6 / (time.perf_counter() - t0)
-    flat = [i for doc in tpu_ids for i in doc]
+    tpu_batch = tok.encode_batch(docs)       # warm-up: compile
+    tpu_batch_mbs = _best_mbs(lambda: tok.encode_batch(docs), nbytes)
     # per-doc splits re-join to the same stream modulo document-boundary
     # merges; verify exact per-doc round trips instead
-    assert "".join(tok.decode(d) for d in tpu_ids) == "".join(docs)
-    return {"cpu_mbs": cpu_mbs, "tpu_mbs": tpu_mbs, "dec_mbs": dec_mbs,
-            "n_ids": len(ids), "n_ids_tpu": len(flat)}
+    assert "".join(tok.decode(d) for d in tpu_batch) == "".join(docs)
+    return {"cpu_mbs": cpu_mbs, "tpu_mbs": tpu_mbs,
+            "tpu_batch_mbs": tpu_batch_mbs, "dec_mbs": dec_mbs,
+            "n_ids": len(ids)}
 
 
 def measure_presplit() -> dict:
@@ -271,9 +282,11 @@ def main() -> None:
         e = measure_encode()
         sys.stderr.write(
             f"[bench] encode: cpu native {e['cpu_mbs']:.1f} MB/s "
-            f"({e['n_ids']} ids, round-trip exact), tpu batch "
-            f"{e['tpu_mbs']:.1f} MB/s; decode {e['dec_mbs']:.1f} MB/s; "
-            f"the reference has no encoder to compare\n")
+            f"({e['n_ids']} ids, round-trip exact), tpu whole-text "
+            f"{e['tpu_mbs']:.1f} MB/s, tpu batch "
+            f"{e['tpu_batch_mbs']:.1f} MB/s; decode "
+            f"{e['dec_mbs']:.1f} MB/s; the reference has no encoder "
+            f"to compare\n")
     except Exception as e:  # encode side-metric must never sink the bench
         sys.stderr.write(f"[bench] encode side-metric failed: {e}\n")
     print(json.dumps({

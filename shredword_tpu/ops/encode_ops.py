@@ -215,24 +215,29 @@ def _shift_down_n(x, s):
     return jnp.concatenate([jnp.full_like(x[:s], -1), x[:-s]], axis=0)
 
 
-def _encode_core(tw_u8: jax.Array, lens: jax.Array, gb: jax.Array,
-                 rank_of):
-    """Device half of encode_stream: expand uint8[L, W] + lens to the
-    -1-padded int32 layout, run the merge loop, compact column-major,
-    and count ids per group.  ``rank_of(t, nxt, valid)`` supplies the
-    pair->rank lookup (dense table or hash probe).
+def _encode_core(flat: jax.Array, off: jax.Array, lens: jax.Array,
+                 gb: jax.Array, rank_of, L: int, out_dtype):
+    """Device half of encode_stream: gather the [L, W] by-chunk layout
+    straight from the flat byte stream (column w = bytes
+    flat[off[w] : off[w]+lens[w]], -1 padded), run the merge loop,
+    compact column-major, and count ids per group.
+    ``rank_of(t, nxt, valid)`` supplies the pair->rank lookup (dense
+    table or hash probe).
 
     Each round merges, in every column independently, ALL occurrences of
     that column's lowest-rank pair (greedy left-to-right within runs) —
     exactly the base.py:22-36 contract — then compacts the column.
     Terminates when no column has a known pair.
 
-    Host traffic: uint8 tokens + int32 lens up; the live id prefix +
-    per-group counts down — nothing O(L*W) crosses the link in int32.
+    Host traffic: the raw uint8 stream + two int32[W] vectors up (the
+    layout expansion happens ON DEVICE); the live id prefix — downcast
+    to ``out_dtype`` (uint16 when the vocab allows) — and tiny count
+    vectors down.  Nothing O(L*W) crosses the link.
     """
-    L, W = tw_u8.shape
+    W = off.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (L, W), 0)
-    tw = jnp.where(row < lens[None, :], tw_u8.astype(jnp.int32), -1)
+    gidx = jnp.minimum(off[None, :] + row, flat.shape[0] - 1)
+    tw = jnp.where(row < lens[None, :], flat[gidx].astype(jnp.int32), -1)
 
     def cond_fn(carry):
         return carry[1]
@@ -284,24 +289,31 @@ def _encode_core(tw_u8: jax.Array, lens: jax.Array, gb: jax.Array,
     _, ids_sorted = jax.lax.sort((skey, ids2), num_keys=1)
     cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
     gcounts = cum[gb[1:]] - cum[gb[:-1]]
-    return ids_sorted, gcounts, counts.astype(jnp.int8)
+    return ids_sorted.astype(out_dtype), gcounts, counts.astype(jnp.int8)
 
 
-@partial(jax.jit, static_argnames=("v",))
-def _encode_device(tw_u8: jax.Array, lens: jax.Array, gb: jax.Array,
-                   table_flat: jax.Array, *, v: int):
+def _out_dtype(v: int):
+    """Smallest download dtype that holds every id < v (D2H is the
+    scarce resource on a tunneled chip; uint16 halves it)."""
+    return jnp.uint16 if v <= 65536 else jnp.int32
+
+
+@partial(jax.jit, static_argnames=("v", "L"))
+def _encode_device(flat: jax.Array, off: jax.Array, lens: jax.Array,
+                   gb: jax.Array, table_flat: jax.Array, *, v: int,
+                   L: int):
     """Dense-table variant: one gather per round into int32[v*v]."""
     def rank_of(t, nxt, valid):
         key = jnp.where(valid, t * v + nxt, 0)
         return jnp.where(valid, table_flat[key], RANK_INF)
 
-    return _encode_core(tw_u8, lens, gb, rank_of)
+    return _encode_core(flat, off, lens, gb, rank_of, L, _out_dtype(v))
 
 
-@partial(jax.jit, static_argnames=("max_probe",))
-def _encode_device_hash(tw_u8: jax.Array, lens: jax.Array, gb: jax.Array,
-                        ka: jax.Array, kb: jax.Array, rk: jax.Array, *,
-                        max_probe: int):
+@partial(jax.jit, static_argnames=("max_probe", "v", "L"))
+def _encode_device_hash(flat: jax.Array, off: jax.Array, lens: jax.Array,
+                        gb: jax.Array, ka: jax.Array, kb: jax.Array,
+                        rk: jax.Array, *, max_probe: int, v: int, L: int):
     """Hash-probe variant for big vocabs: the dense [v, v] table at
     v = 32k would be ~4.3 GB of HBM; the open-addressing MergeTable is
     O(len(merges)) with a handful of gathers per round."""
@@ -309,7 +321,7 @@ def _encode_device_hash(tw_u8: jax.Array, lens: jax.Array, gb: jax.Array,
         return lookup_ranks(MergeTable(ka, kb, rk, max_probe),
                             t, nxt, valid)
 
-    return _encode_core(tw_u8, lens, gb, rank_of)
+    return _encode_core(flat, off, lens, gb, rank_of, L, _out_dtype(v))
 
 
 LEN_BUCKETS = (4, 8, 16, 32, 64)
@@ -332,70 +344,60 @@ def _get_table(merges, v, _cache):
     return table
 
 
-def _encode_block(flat, lens, off, table, v, gbn):
-    """One [L, W] device call over chunks of similar length.  Returns
+def _encode_block(dflat, lens, off, table, v, gbn):
+    """One [L, W] device call over chunks of similar length.  ``dflat``
+    is the ALREADY-UPLOADED full byte stream; only two int32[W] vectors
+    go up per block (the layout gather runs on device).  Returns
     (device ids_sorted, device gcounts, device per-chunk counts)."""
     n = len(lens)
     L = _bucket(int(lens.max(initial=1)), floor=4)
     W = _bucket(n, floor=256)
-    tw = np.zeros((L, W), np.uint8)
-    off_rep = np.repeat(off, lens)
-    pos = np.arange(int(lens.sum())) - off_rep
-    cid = np.repeat(np.arange(n, dtype=np.int64), lens)
-    tw[pos, cid] = np.asarray(flat, np.uint8)[off_rep + pos]
+    off_w = np.zeros(W, np.int32)
+    off_w[:n] = off
     lens_w = np.zeros(W, np.int32)
     lens_w[:n] = lens
     gb = np.full(_bucket(len(gbn), floor=16), n, np.int32)
     gb[:len(gbn)] = gbn
     if isinstance(table, MergeTable):
         return _encode_device_hash(
-            jnp.asarray(tw), jnp.asarray(lens_w), jnp.asarray(gb),
-            table.ka, table.kb, table.rank, max_probe=table.max_probe)
-    return _encode_device(jnp.asarray(tw), jnp.asarray(lens_w),
-                          jnp.asarray(gb), table, v=v)
+            dflat, jnp.asarray(off_w), jnp.asarray(lens_w),
+            jnp.asarray(gb), table.ka, table.kb, table.rank,
+            max_probe=table.max_probe, v=v, L=L)
+    return _encode_device(dflat, jnp.asarray(off_w), jnp.asarray(lens_w),
+                          jnp.asarray(gb), table, v=v, L=L)
 
 
-def encode_stream(flat: np.ndarray, lens: np.ndarray, merges: np.ndarray,
-                  v: int, group_bounds: np.ndarray | None = None,
-                  _cache: dict | None = None) -> list[np.ndarray]:
-    """Encode a pre-chunked byte stream on device; ids per group.
-
-    flat: uint8 bytes of all chunks, concatenated.
-    lens: per-chunk byte lengths (each <= MAX_TW_LEN).
-    group_bounds: int chunk-index boundaries [0, ..., n_chunks] — one
-        output array per group (e.g. one group per document).  Default:
-        a single group.
+def _encode_all(flat: np.ndarray, lens: np.ndarray, off: np.ndarray,
+                table, v: int, single_block: bool = False):
+    """Encode every chunk; returns (ids int32 in chunk order,
+    counts int64[n] ids per chunk).
 
     Chunks are split into per-length-bucket [L, W] blocks (a chunk of
     length l needs at most l-1 merge rounds, and the per-round rank
     gather is the dominant cost, so short chunks — the vast majority —
-    must not ride in a tall block).  Bucket outputs re-interleave into
-    chunk order host-side from per-chunk id counts.  All shapes bucket
-    to powers of two (no steady-state recompiles); the dense rank table
-    is built ON DEVICE and cached via `_cache`.
+    must not ride in a tall block); ``single_block`` forces one block
+    (fewer link round-trips — right when n is already small, e.g. after
+    dedup).  Bucket outputs re-interleave into chunk order host-side
+    from per-chunk id counts.  All shapes bucket to powers of two (no
+    steady-state recompiles).
     """
     n = len(lens)
-    lens = np.asarray(lens, np.int64)
-    if group_bounds is None:
-        group_bounds = np.array([0, n], np.int64)
-    gbn = np.asarray(group_bounds, np.int64)
-    g = len(gbn) - 1
-    if n == 0:
-        return [np.zeros(0, np.int32)] * g
-    flat = np.asarray(flat, np.uint8)
-    off = np.zeros(n, np.int64)
-    np.cumsum(lens[:-1], out=off[1:])
-    table = _get_table(merges, v, _cache)
+    # ONE upload of the raw stream; every block gathers its columns
+    # from this device array by (offset, length)
+    fcap = _bucket(max(len(flat), LEN_BUCKETS[-1]))
+    fpad = np.zeros(fcap, np.uint8)
+    fpad[:len(flat)] = flat
+    dflat = jnp.asarray(fpad)
 
     maxlen = int(lens.max(initial=1))
     which = np.searchsorted(np.asarray(LEN_BUCKETS), lens)
     n_buckets = int(which.max(initial=0)) + 1
-    if n_buckets <= 1 or maxlen <= LEN_BUCKETS[0]:
-        ids_sorted, gcounts, _ = _encode_block(flat, lens, off, table, v,
-                                               gbn)
-        gc = np.asarray(gcounts)[:g]
-        ids = np.asarray(ids_sorted[: int(gc.sum())])
-        return np.split(ids, np.cumsum(gc[:-1]))
+    if single_block or n_buckets <= 1 or maxlen <= LEN_BUCKETS[0]:
+        ids_sorted, _, counts = _encode_block(
+            dflat, lens, off, table, v, np.array([0, n]))
+        cb = np.asarray(counts)[:n].astype(np.int64)
+        ids = np.asarray(ids_sorted[: int(cb.sum())]).astype(np.int32)
+        return ids, cb
 
     # multi-bucket: encode each length class in its own short block,
     # then re-interleave by original chunk order
@@ -405,14 +407,9 @@ def encode_stream(flat: np.ndarray, lens: np.ndarray, merges: np.ndarray,
         if len(idx) == 0:
             dev_parts.append(None)
             continue
-        lens_b = lens[idx]
-        off_b = np.zeros(len(idx), np.int64)
-        np.cumsum(lens_b[:-1], out=off_b[1:])
-        flat_b = flat[np.repeat(off[idx], lens_b)
-                      + (np.arange(int(lens_b.sum()))
-                         - np.repeat(off_b, lens_b))]
         ids_sorted, _, counts = _encode_block(
-            flat_b, lens_b, off_b, table, v, np.array([0, len(idx)]))
+            dflat, lens[idx], off[idx], table, v,
+            np.array([0, len(idx)]))
         dev_parts.append((idx, ids_sorted, counts))
     # downloads happen after every dispatch is queued
     counts_full = np.zeros(n, np.int64)
@@ -432,6 +429,87 @@ def encode_stream(flat: np.ndarray, lens: np.ndarray, merges: np.ndarray,
         inner = np.arange(int(cb.sum())) - np.repeat(
             np.cumsum(cb) - cb, cb)
         out[np.repeat(out_off[idx], cb) + inner] = ids_b
+    return out, counts_full
+
+
+# dedup pays for itself once the stream repeats chunks; below this many
+# chunks the hash pass + expansion overhead beats nothing
+DEDUP_MIN_CHUNKS = 2048
+
+
+def _try_dedup(flat, off, lens):
+    try:
+        from ..runtime import native
+        inverse, uniq = native.dedup_spans(flat, off, lens)
+    except Exception:
+        return None
+    # worth it only if the stream actually repeats itself
+    if len(uniq) * 2 > len(lens):
+        return None
+    return inverse, uniq
+
+
+def encode_stream(flat: np.ndarray, lens: np.ndarray, merges: np.ndarray,
+                  v: int, group_bounds: np.ndarray | None = None,
+                  _cache: dict | None = None) -> list[np.ndarray]:
+    """Encode a pre-chunked byte stream on device; ids per group.
+
+    flat: uint8 bytes of all chunks, concatenated.
+    lens: per-chunk byte lengths (each <= MAX_TW_LEN).
+    group_bounds: int chunk-index boundaries [0, ..., n_chunks] — one
+        output array per group (e.g. one group per document).  Default:
+        a single group.
+
+    Duplicate chunks (the overwhelming majority in natural text) are
+    deduplicated by a native hash pass first: the device encodes each
+    DISTINCT chunk once and the full id stream is a host-side gather —
+    both link directions and device work shrink by the duplication
+    factor.  The dense rank table is built ON DEVICE and cached via
+    `_cache`.
+    """
+    n = len(lens)
+    lens = np.asarray(lens, np.int64)
+    if group_bounds is None:
+        group_bounds = np.array([0, n], np.int64)
+    gbn = np.asarray(group_bounds, np.int64)
+    g = len(gbn) - 1
+    if n == 0:
+        return [np.zeros(0, np.int32)] * g
+    flat = np.asarray(flat, np.uint8)
+    if len(flat) >= 2 ** 31:
+        raise ValueError("encode_stream input over 2 GiB: split the "
+                         "stream into multiple calls")
+    off = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=off[1:])
+    table = _get_table(merges, v, _cache)
+
+    dd = _try_dedup(flat, off, lens) if n >= DEDUP_MIN_CHUNKS else None
+    if dd is None:
+        ids, counts = _encode_all(flat, lens, off, table, v)
+        out_off = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=out_off[1:])
+        return (np.split(ids, out_off[gbn[1:-1]]) if g > 1 else [ids])
+
+    # dedup path: encode unique chunks (compacted into their own small
+    # flat buffer), then expand to the full stream by gather
+    inverse, uniq = dd
+    lens_u = lens[uniq]
+    off_u = np.zeros(len(uniq), np.int64)
+    np.cumsum(lens_u[:-1], out=off_u[1:])
+    src = np.repeat(off[uniq], lens_u) + (
+        np.arange(int(lens_u.sum()), dtype=np.int64)
+        - np.repeat(off_u, lens_u))
+    ids_u, cnt_u = _encode_all(flat[src], lens_u, off_u, table, v,
+                               single_block=True)
+    uoff = np.zeros(len(uniq) + 1, np.int64)
+    np.cumsum(cnt_u, out=uoff[1:])
+    counts_full = cnt_u[inverse]
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(counts_full, out=out_off[1:])
+    total = int(out_off[-1])
+    inner = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1],
+                                                         counts_full)
+    out = ids_u[np.repeat(uoff[inverse], counts_full) + inner]
     return np.split(out, out_off[gbn[1:-1]]) if g > 1 else [out]
 
 

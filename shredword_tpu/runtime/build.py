@@ -17,7 +17,7 @@ import tempfile
 _THIS_DIR = os.path.dirname(os.path.abspath(__file__))
 CSRC_DIR = os.path.join(_THIS_DIR, "csrc")
 SOURCES = ["corpus.cpp", "faithful.cpp", "encode.cpp", "unigram.cpp",
-           "pretok.cpp", "api.cpp"]
+           "pretok.cpp", "dedup.cpp", "api.cpp"]
 HEADERS = ["shred_native.hpp"]
 
 CXX = os.environ.get("SHRED_CXX", "g++")

@@ -122,6 +122,10 @@ def _declare(L: ctypes.CDLL) -> None:
     L.shred_gpt_starts.argtypes = [ctypes.c_char_p, i64, ctypes.c_void_p,
                                    ctypes.c_void_p, i64]
     L.shred_gpt_starts.restype = i64
+    L.shred_dedup_spans.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, i64, ctypes.c_void_p,
+                                    ctypes.c_void_p]
+    L.shred_dedup_spans.restype = i64
 
 
 def _ptr(a: np.ndarray):
@@ -425,6 +429,23 @@ def piece_table(words: list[bytes], pieces: list[bytes], lmax: int,
                             _ptr(plens), len(pieces), lmax, max_piece_len,
                             _ptr(out))
     return out
+
+
+def dedup_spans(flat: np.ndarray, off: np.ndarray,
+                lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deduplicate byte spans (csrc/dedup.cpp).  Returns
+    (inverse int32[n] — dense unique id per span, first-occurrence
+    order; uniq int64[u] — span index of each unique's first
+    occurrence)."""
+    n = len(lens)
+    flat = np.ascontiguousarray(flat, np.uint8)
+    off = np.ascontiguousarray(off, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    inverse = np.empty(n, np.int32)
+    uniq = np.empty(n, np.int64)
+    u = lib().shred_dedup_spans(_ptr(flat), _ptr(off), _ptr(lens), n,
+                                _ptr(inverse), _ptr(uniq))
+    return inverse, uniq[:u].copy()
 
 
 def gpt_starts_bytes(data: bytes, cls_table: np.ndarray) -> np.ndarray:

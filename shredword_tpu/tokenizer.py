@@ -225,17 +225,26 @@ class Tokenizer:
 
     def encode_ordinary(self, text: str) -> list[int]:
         """Encode ignoring special tokens."""
+        return self.encode_array(text).tolist()
+
+    def encode_array(self, text: str) -> np.ndarray:
+        """Encode ignoring special tokens; returns int32 numpy ids.
+
+        The array form skips the list materialization (2.3M Python ints
+        per 4 MB of text) — use it for bulk pipelines, and pass the
+        array straight to decode/decode_bytes.
+        """
         if not text:
-            return []
+            return np.zeros(0, np.int32)
         if not self.pattern and self.backend == "cpu":
             # fast path: whole-text native encode (the whitespace-keep
             # chunking runs inside the C++ pass — no per-chunk Python)
             from .runtime.native import NativeEncoder
             if self._native is None:
                 self._native = NativeEncoder(self.merges)
-            return self._native.encode_text(text.encode("utf-8")).tolist()
+            return self._native.encode_text(text.encode("utf-8"))
         if not self.pattern and self.backend == "tpu":
-            return self._encode_text_tpu(text.encode("utf-8")).tolist()
+            return self._encode_text_tpu(text.encode("utf-8"))
         if self.pattern in ("gpt", pretokenize.PATTERN_GPT):
             # byte-level fast path: native GPT scanner gives chunk
             # offsets directly — no per-chunk Python strings
@@ -254,7 +263,7 @@ class Tokenizer:
                     arr = np.frombuffer(data, np.uint8)
                     return encode_ops.encode_stream(
                         arr, lens, self.merges, 256 + len(self.merges),
-                        None, self._table)[0].tolist()
+                        None, self._table)[0]
                 if self.backend == "cpu":
                     from .runtime.native import NativeEncoder
                     if self._native is None:
@@ -262,13 +271,13 @@ class Tokenizer:
                     offsets = np.concatenate(
                         [starts, [len(data)]]).astype(np.int64)
                     return self._native.encode_words(
-                        np.frombuffer(data, np.uint8), offsets).tolist()
+                        np.frombuffer(data, np.uint8), offsets)
         chunks = self._chunks(text)
         if not chunks:
-            return []
+            return np.zeros(0, np.int32)
         if self.backend == "tpu":
-            return self._encode_chunks_tpu(chunks).tolist()
-        return self._encode_chunks_cpu(chunks).tolist()
+            return self._encode_chunks_tpu(chunks)
+        return self._encode_chunks_cpu(chunks)
 
     def encode(self, text: str, allowed_special="none_raise") -> list[int]:
         """Encode with special-token handling.
@@ -372,7 +381,10 @@ class Tokenizer:
         errors: "strict" raises on unknown ids, "replace" substitutes
         U+FFFD, "ignore" drops them.
         """
-        ids = np.asarray(ids, dtype=np.int64).reshape(-1)
+        if isinstance(ids, list):
+            ids = np.fromiter(ids, np.int64, len(ids))
+        else:
+            ids = np.asarray(ids, dtype=np.int64).reshape(-1)
         if len(ids) == 0:
             return b""
         flat, off, lens, known, n = self._decode_table()
@@ -394,11 +406,13 @@ class Tokenizer:
         total = int(piece_len.sum())
         if total == 0:
             return b""
-        max_len = int(piece_len.max())
-        base = np.arange(max_len, dtype=np.int64)
-        src = off[ids][:, None] + base[None, :]
-        mask = base[None, :] < piece_len[:, None]
-        return flat[src[mask]].tobytes()
+        # 1-D repeat-gather (no [n, max_len] intermediate): src byte i of
+        # the output is flat[off[id] + position-within-piece]
+        starts = np.repeat(off[ids], piece_len)
+        ends = np.cumsum(piece_len)
+        inner = np.arange(total, dtype=np.int64) - np.repeat(
+            ends - piece_len, piece_len)
+        return flat[starts + inner].tobytes()
 
     def decode(self, ids, errors: str = "replace") -> str:
         """ids -> text.  Byte-level errors use utf-8 'replace' so any id
