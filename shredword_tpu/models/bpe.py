@@ -235,14 +235,21 @@ class BPETrainer:
         if max_merges is not None:
             target = min(target, len(self._merges) + max_merges)
         # Device engines count in int32 (the reference accumulates in
-        # uint64, bpe.cpp:329-355).  Any single pair's weighted count is
-        # bounded by the total corpus token mass, which is bounded by
-        # total_raw_bytes, so raw bytes < 2^31 guarantees no overflow.
+        # uint64, bpe.cpp:329-355).  The EXACT bound: any single pair's
+        # weighted count is at most the total number of adjacent pairs,
+        # sum over unique words of count * (len - 1).  Corpora far over
+        # 2 GiB raw pass this when deduplication is heavy; only corpora
+        # whose pair mass itself overflows int32 must use the cpu
+        # backend's 64-bit counts.
+        lens64 = np.diff(self._arrays.offsets)
+        pair_mass = int(
+            (self._arrays.counts.astype(np.uint64)
+             * np.maximum(lens64 - 1, 0).astype(np.uint64)).sum())
         if int(self._arrays.counts.max(initial=0)) >= 2**31 or \
-                self._arrays.total_raw_bytes >= 2**31:
+                pair_mass >= 2**31:
             raise TrainingError(
-                "corpus counts exceed the device engines' int32 range; "
-                "use backend='cpu' (64-bit counts)")
+                "corpus pair counts exceed the device engines' int32 "
+                "range; use backend='cpu' (64-bit counts)")
         tokens, word_id, wcount = self._token_arrays()
         n = len(tokens)
         if n == 0 or target <= 0:

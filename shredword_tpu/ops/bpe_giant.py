@@ -65,7 +65,17 @@ from .bpe_hist import PAD, _shift_down, _shift_up
 ensure_jax_cache()
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
-C = 512            # chunk lane width (fixed: keeps the MXU scatter exact)
+MXU_C = 512        # MXU-scatter lane width (fixed: 512 * (2^15 - 1) < 2^24
+                   # keeps every f32 partial dot exact)
+C = 1024           # default chunk DMA width (multiple of MXU_C).  Wider
+                   # chunks mean fewer/bigger DMAs but coarser presence
+                   # skipping; the exact MXU scatter always runs on
+                   # 512-lane sub-slices.  Swept on a real v5e chip
+                   # (ms/merge, 32k vocab): 16 MB corpus 512->0.42,
+                   # 1024->0.36, 2048->0.58; 1 GB corpus 512->10.6,
+                   # 1024->5.4, 2048->5.5.  1024 also avoids a Mosaic
+                   # compile blow-up seen at 512 with NC=256 (~460 s).
+                   # Tunable per corpus via giant_train(chunk_width=...).
 SLAB = 128         # table rows per column-update strip (1 delta-matrix row)
 MAX_V = 32768      # int16 corpus ids
 MAX_NC = 16384     # flag-scan bound (W <= MAX_NC * C words)
@@ -86,7 +96,8 @@ class GiantLayout(NamedTuple):
 
 def build_giant_layout(tokens: np.ndarray, word_id: np.ndarray,
                        wcount: np.ndarray, v: int,
-                       max_word_len: int = 64) -> GiantLayout | None:
+                       max_word_len: int = 64,
+                       cw: int = C) -> GiantLayout | None:
     """Length-sorted [L, W] layout + presence index; None if a word
     exceeds max_word_len (caller falls back to the flat engine).
 
@@ -100,12 +111,12 @@ def build_giant_layout(tokens: np.ndarray, word_id: np.ndarray,
     if L > max_word_len:
         return None
     L = max(16, 1 << int(np.ceil(np.log2(L))))
-    if n_words > MAX_NC * C:
+    if n_words > MAX_NC * cw:
         return None
     perm = np.argsort(lens, kind="stable")          # short words first
-    NC = max(1, -(-n_words // C))
+    NC = max(1, -(-n_words // cw))
     NC = -(-NC // 128) * 128                        # presT lane multiple
-    W = NC * C
+    W = NC * cw
     tw = np.full((L, W), PAD, np.int16)
     starts = np.zeros(n_words + 1, np.int64)
     np.cumsum(lens, out=starts[1:])
@@ -118,13 +129,13 @@ def build_giant_layout(tokens: np.ndarray, word_id: np.ndarray,
     wc[0, inv] = wcount
     chunk_lens = np.zeros(NC, np.int32)
     sorted_lens = lens[perm]
-    nfull = n_words // C
+    nfull = n_words // cw
     if nfull:
-        chunk_lens[:nfull] = sorted_lens[:nfull * C].reshape(nfull, C).max(1)
-    if n_words % C:
-        chunk_lens[nfull] = sorted_lens[nfull * C:].max(initial=0)
+        chunk_lens[:nfull] = sorted_lens[:nfull * cw].reshape(nfull, cw).max(1)
+    if n_words % cw:
+        chunk_lens[nfull] = sorted_lens[nfull * cw:].max(initial=0)
     presT = np.zeros((v, NC), np.int8)
-    chunk_of = (inv[word_id] // C).astype(np.int64)
+    chunk_of = (inv[word_id] // cw).astype(np.int64)
     key = np.unique(tokens.astype(np.int64) * NC + chunk_of)
     presT[(key // NC).astype(np.int64), key % NC] = 1
     return GiantLayout(tw, wc, chunk_lens, presT, perm, n_words)
@@ -247,13 +258,14 @@ def _slot_deltas_mxu(tt, sel, ww, new, unk, l_c, vh, dl_ref, dr_ref):
 # the fused giant kernel: grid = merges
 # ---------------------------------------------------------------------
 
-def _giant_kernel(v: int, L: int, NC: int, W: int,
+def _giant_kernel(v: int, L: int, NC: int, W: int, cw: int,
                   lens_ref, scal_ref,            # scalar prefetch (SMEM)
                   wc_hbm, tw_hbm, h_in, p_in, rmax_in,   # inputs
                   tw_out, h_io, p_io, rmax_ref, mrow_ref,  # outputs
                   done_s, dl_ref, dr_ref, rowbuf, slabbuf,
                   tbuf, wbuf, prgrp, stillA, stillB, hasN, flagsv,
-                  flag_smem, sem_a, sem_b, sem_c, sem_d):
+                  flag_smem, subt, subsel, subw,
+                  sem_a, sem_b, sem_c, sem_d):
     # h_in/p_in/tw_hbm are only accessed through their aliases (in-place).
     del h_in, p_in
     vh = v // 128
@@ -355,9 +367,9 @@ def _giant_kernel(v: int, L: int, NC: int, W: int,
             def _():
                 l_c = lens_ref[c]
                 cp_t = pltpu.make_async_copy(
-                    tw_out.at[:, pl.ds(c * C, C)], tbuf, sem_c)
+                    tw_out.at[:, pl.ds(c * cw, cw)], tbuf, sem_c)
                 cp_w = pltpu.make_async_copy(
-                    wc_hbm.at[:, pl.ds(c * C, C)], wbuf, sem_d)
+                    wc_hbm.at[:, pl.ds(c * cw, cw)], wbuf, sem_d)
                 cp_t.start()
                 cp_w.start()
                 cp_t.wait()
@@ -370,8 +382,20 @@ def _giant_kernel(v: int, L: int, NC: int, W: int,
                 def _():
                     t2, sel = _select_apply_dyn(tt, a, b, new, l_c, L)
                     tbuf[:] = t2.astype(jnp.int16)
-                    _slot_deltas_mxu(tt, sel, wbuf[:], new, unk, l_c, vh,
-                                     dl_ref, dr_ref)
+                    # exact MXU scatter is capped at 512 lanes; run it on
+                    # sub-slices of the (wider) DMA chunk, staged through
+                    # scratch so each slice gets a zero-offset layout
+                    ww = wbuf[:]
+                    for j in range(cw // MXU_C):
+                        sl = slice(j * MXU_C, (j + 1) * MXU_C)
+                        @pl.when(jnp.any(mm[:, sl]))
+                        def _(sl=sl):
+                            subt[:] = tt[:, sl]
+                            subsel[:] = sel[:, sl]
+                            subw[:] = ww[:, sl]
+                            _slot_deltas_mxu(subt[:], subsel[:],
+                                             subw[:], new, unk, l_c,
+                                             vh, dl_ref, dr_ref)
                     here = (lane_nc == c)
                     stillA[:] = jnp.where(
                         here, jnp.any(t2 == a).astype(jnp.int32), stillA[:])
@@ -379,7 +403,7 @@ def _giant_kernel(v: int, L: int, NC: int, W: int,
                         here, jnp.any(t2 == b).astype(jnp.int32), stillB[:])
                     hasN[:] = jnp.where(here, 1, hasN[:])
                     cp_o = pltpu.make_async_copy(
-                        tbuf, tw_out.at[:, pl.ds(c * C, C)], sem_c)
+                        tbuf, tw_out.at[:, pl.ds(c * cw, cw)], sem_c)
                     cp_o.start()
                     cp_o.wait()
             return carry
@@ -482,7 +506,7 @@ def _giant_kernel(v: int, L: int, NC: int, W: int,
 
 
 def make_giant_train(v: int, L: int, NC: int, steps: int,
-                     interpret: bool = False):
+                     interpret: bool = False, cw: int = C):
     """One pallas_call = `steps` greedy merges at giant scale.
 
     giant(lens, scal, wc, tw, hist4, presT, rowmax) ->
@@ -494,9 +518,9 @@ def make_giant_train(v: int, L: int, NC: int, steps: int,
     make_fused_train: step k's record at row 8k, lanes (a, b, freq, did).
     tw/hist4/presT/rowmax are donated and updated in place.
     """
-    W = NC * C
+    W = NC * cw
     vh = v // 128
-    kernel = partial(_giant_kernel, v, L, NC, W)
+    kernel = partial(_giant_kernel, v, L, NC, W, cw)
 
     @partial(jax.jit, donate_argnums=(3, 4, 5, 6))
     def giant(lens, scal, wc, tw, hist4, presT, rowmax):
@@ -528,14 +552,17 @@ def make_giant_train(v: int, L: int, NC: int, steps: int,
                     pltpu.VMEM((vh, 128), jnp.int32),        # dr
                     pltpu.VMEM((vh, 128), jnp.int32),        # rowbuf
                     pltpu.VMEM((SLAB, 128), jnp.int32),      # slabbuf
-                    pltpu.VMEM((L, C), jnp.int16),           # tbuf
-                    pltpu.VMEM((1, C), jnp.int32),           # wbuf
+                    pltpu.VMEM((L, cw), jnp.int16),          # tbuf
+                    pltpu.VMEM((1, cw), jnp.int32),          # wbuf
                     pltpu.VMEM((32, NC), jnp.int8),          # presence grp
                     pltpu.VMEM((1, NC), jnp.int32),          # stillA
                     pltpu.VMEM((1, NC), jnp.int32),          # stillB
                     pltpu.VMEM((1, NC), jnp.int32),          # hasN
                     pltpu.VMEM((1, NC), jnp.int32),          # flags
                     pltpu.SMEM((1, NC), jnp.int32),          # flags scan
+                    pltpu.VMEM((L, MXU_C), jnp.int32),       # subt
+                    pltpu.VMEM((L, MXU_C), jnp.int32),       # subsel
+                    pltpu.VMEM((1, MXU_C), jnp.int32),       # subw
                     pltpu.SemaphoreType.DMA(()),
                     pltpu.SemaphoreType.DMA(()),
                     pltpu.SemaphoreType.DMA(()),
@@ -583,11 +610,13 @@ def _giant_init_tables(tw, wc, unk_id, *, v: int):
 
 
 def _is_resource_error(e: Exception) -> bool:
-    """True for Mosaic/XLA out-of-on-chip-memory compile failures."""
+    """True for Mosaic/XLA out-of-on-chip-memory compile failures —
+    deliberately narrow: anything else (layout bugs, lowering errors)
+    must RAISE, not silently fall back to a slower engine."""
     msg = repr(e).lower()
     return any(k in msg for k in
-               ("smem", "scalar memory", "vmem", "resource",
-                "exceed", "out of memory", "mosaic"))
+               ("smem", "scalar memory", "vmem", "resource exhausted",
+                "resource_exhausted", "exceeds", "out of memory"))
 
 
 def giant_train(tokens: np.ndarray, word_id: np.ndarray,
@@ -595,28 +624,33 @@ def giant_train(tokens: np.ndarray, word_id: np.ndarray,
                 unk_id: int = -1, min_pair_freq: int = 2,
                 max_word_len: int = 64, steps_per_call: int = 4096,
                 interpret: bool = False, progress_cb=None,
-                lazy_final: bool = False, _cache={}):
+                lazy_final: bool = False, chunk_width: int | None = None,
+                _cache={}):
     """Full driver: one upload, one dispatch per steps_per_call merges,
     16 bytes of readback per merge.  Returns (merges[M, 2], freqs[M],
     final tokens, final word_id) — or a lazy final_fn — or None if the
     problem is outside the engine's envelope (vocab > 32768, a word
     longer than max_word_len, unk_id >= 256, > 8.4M unique words)."""
+    cw = C if chunk_width is None else chunk_width
+    if cw % MXU_C:
+        raise ValueError(f"chunk_width must be a multiple of {MXU_C}")
     v = 256 + target_merges
     # vh = v // 128 is a sublane dimension: keep it a multiple of 8
     # (hardware (8, 128) int32 tiling), i.e. v a multiple of 1024
     v = -(-v // 1024) * 1024
     if v > MAX_V or unk_id >= 256 or len(tokens) == 0:
         return None
-    lay = build_giant_layout(tokens, word_id, wcount, v, max_word_len)
+    lay = build_giant_layout(tokens, word_id, wcount, v, max_word_len,
+                             cw=cw)
     if lay is None:
         return None
     L, W = lay.tw.shape
-    NC = W // C
+    NC = W // cw
     steps = max(1, min(steps_per_call, target_merges))
-    key = (v, L, NC, steps, interpret)
+    key = (v, L, NC, steps, interpret, cw)
     if key not in _cache:
         _cache[key] = make_giant_train(v, L, NC, steps,
-                                       interpret=interpret)
+                                       interpret=interpret, cw=cw)
     giant = _cache[key]
 
     tw = jnp.asarray(lay.tw)
@@ -624,7 +658,7 @@ def giant_train(tokens: np.ndarray, word_id: np.ndarray,
     presT = jnp.asarray(lay.presT)
     lens = jnp.asarray(lay.lens)
     hist4, rowmax = _giant_init_tables(tw, wc, jnp.int32(unk_id), v=v)
-    nc_used = max(1, -(-lay.n_words // C))
+    nc_used = max(1, -(-lay.n_words // cw))
 
     merges_np: list = []
     freqs_np: list = []

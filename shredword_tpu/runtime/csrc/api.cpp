@@ -34,6 +34,16 @@ void* shred_corpus_from_bytes(const uint8_t* data, int64_t len,
   return c;
 }
 
+void* shred_corpus_from_file_streaming(const char* path, int faithful_order,
+                                       int nthreads, int64_t block_bytes) {
+  bool ok = false;
+  Corpus corpus = shred::build_corpus_streaming(path, faithful_order != 0,
+                                                nthreads, block_bytes, &ok);
+  if (!ok) return nullptr;
+  auto* c = new (std::nothrow) Corpus(std::move(corpus));
+  return c;
+}
+
 void* shred_corpus_from_file(const char* path, int faithful_order,
                              int nthreads) {
   bool ok = false;

@@ -64,9 +64,10 @@ using WordMap = std::unordered_map<std::string, WordStat>;
 
 // Scan [begin, end) of data, but start at the first token that *begins*
 // inside the range (a token straddling `begin` belongs to the previous
-// chunk) and finish the token straddling `end`.
+// chunk) and finish the token straddling `end`.  `base` offsets
+// first_touch so streamed blocks keep a GLOBAL first-occurrence rank.
 void scan_chunk(const uint8_t* data, int64_t len, int64_t begin, int64_t end,
-                WordMap* out, uint64_t* n_occurrences) {
+                int64_t base, WordMap* out, uint64_t* n_occurrences) {
   int64_t i = begin;
   if (begin > 0 && !is_delim(data[begin - 1])) {
     while (i < end && !is_delim(data[i])) i++;  // skip partial token
@@ -78,43 +79,39 @@ void scan_chunk(const uint8_t* data, int64_t len, int64_t begin, int64_t end,
     int64_t start = i;
     while (i < len && !is_delim(data[i])) i++;  // may run past `end`
     auto& st = (*out)[std::string((const char*)data + start, i - start)];
-    if (st.count == 0) st.first_touch = (uint64_t)start;
+    if (st.count == 0) st.first_touch = (uint64_t)(base + start);
     st.count++;
     occ++;
   }
   *n_occurrences += occ;
 }
-}  // namespace
 
-Corpus build_corpus(const uint8_t* data, int64_t len, bool faithful_order,
-                    int nthreads) {
-  Corpus corpus;
-  corpus.total_raw_bytes = (uint64_t)len;
-
+// Threaded scan of one in-memory block, merged into a persistent map
+// (the streaming loader calls this once per block).
+void scan_block_into(const uint8_t* data, int64_t len, int64_t base,
+                     int nthreads, WordMap* merged, uint64_t* occ_total) {
   int nt = auto_threads(nthreads);
-  if ((int64_t)nt > len / (1 << 16)) nt = (int)std::max<int64_t>(1, len / (1 << 16));
+  if ((int64_t)nt > len / (1 << 16))
+    nt = (int)std::max<int64_t>(1, len / (1 << 16));
 
   std::vector<WordMap> maps(nt);
   std::vector<uint64_t> occs(nt, 0);
   if (nt == 1) {
-    scan_chunk(data, len, 0, len, &maps[0], &occs[0]);
+    scan_chunk(data, len, 0, len, base, &maps[0], &occs[0]);
   } else {
     std::vector<std::thread> threads;
     int64_t chunk = len / nt;
     for (int t = 0; t < nt; t++) {
       int64_t b = t * chunk;
       int64_t e = (t == nt - 1) ? len : (t + 1) * chunk;
-      threads.emplace_back(scan_chunk, data, len, b, e, &maps[t], &occs[t]);
+      threads.emplace_back(scan_chunk, data, len, b, e, base, &maps[t],
+                           &occs[t]);
     }
     for (auto& th : threads) th.join();
   }
-
-  // Merge per-thread maps. first_touch = min byte offset of first
-  // occurrence — a global, thread-count-independent tiebreak.
-  WordMap merged = std::move(maps[0]);
-  for (int t = 1; t < nt; t++) {
+  for (int t = 0; t < nt; t++) {
     for (auto& kv : maps[t]) {
-      auto& st = merged[kv.first];
+      auto& st = (*merged)[kv.first];
       if (st.count == 0) {
         st = kv.second;
       } else {
@@ -122,9 +119,17 @@ Corpus build_corpus(const uint8_t* data, int64_t len, bool faithful_order,
         st.first_touch = std::min(st.first_touch, kv.second.first_touch);
       }
     }
-    occs[0] += occs[t];
+    *occ_total += occs[t];
   }
-  corpus.total_word_occurrences = occs[0];
+}
+
+// Ordering + row extraction shared by the whole-buffer and streaming
+// loaders.
+Corpus finalize_corpus(WordMap&& merged, uint64_t total_bytes,
+                       uint64_t total_occ, bool faithful_order) {
+  Corpus corpus;
+  corpus.total_raw_bytes = total_bytes;
+  corpus.total_word_occurrences = total_occ;
 
   struct Row {
     const std::string* word;
@@ -132,7 +137,8 @@ Corpus build_corpus(const uint8_t* data, int64_t len, bool faithful_order,
   };
   std::vector<Row> rows;
   rows.reserve(merged.size());
-  for (auto& kv : merged) rows.push_back({&kv.first, kv.second.count, kv.second.first_touch});
+  for (auto& kv : merged)
+    rows.push_back({&kv.first, kv.second.count, kv.second.first_touch});
 
   if (faithful_order) {
     // Reference StrMap order: bucket = djb2 & (4096-1) ascending; within a
@@ -160,6 +166,66 @@ Corpus build_corpus(const uint8_t* data, int64_t len, bool faithful_order,
   }
   return corpus;
 }
+}  // namespace
+
+Corpus build_corpus(const uint8_t* data, int64_t len, bool faithful_order,
+                    int nthreads) {
+  WordMap merged;
+  uint64_t occ = 0;
+  scan_block_into(data, len, 0, nthreads, &merged, &occ);
+  return finalize_corpus(std::move(merged), (uint64_t)len, occ,
+                         faithful_order);
+}
+
+Corpus build_corpus_streaming(const char* path, bool faithful_order,
+                              int nthreads, int64_t block_bytes, bool* ok) {
+  // Bounded-memory ingestion: the file is read in blocks; only the
+  // unique-word map persists.  A token straddling a block boundary is
+  // carried to the front of the next block, so the word stream (and the
+  // faithful first-touch order, via global base offsets) is identical
+  // to the whole-buffer loader's.
+  *ok = false;
+  Corpus corpus;
+  if (block_bytes < (1 << 12)) block_bytes = (1 << 12);
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return corpus;
+  std::vector<uint8_t> buf;
+  buf.reserve((size_t)block_bytes + 4096);
+  WordMap merged;
+  uint64_t occ = 0, total_bytes = 0;
+  int64_t base = 0;           // global offset of buf[0]
+  size_t carry = 0;           // partial-token bytes kept from last block
+  for (;;) {
+    buf.resize(carry + (size_t)block_bytes);
+    size_t got = fread(buf.data() + carry, 1, (size_t)block_bytes, fp);
+    total_bytes += got;
+    size_t have = carry + got;
+    buf.resize(have);
+    if (have == 0) break;
+    bool eof = got < (size_t)block_bytes;
+    size_t scan_end = have;
+    if (!eof) {
+      // hold back the trailing partial token for the next block
+      while (scan_end > 0 && !is_delim(buf[scan_end - 1])) scan_end--;
+      if (scan_end == 0) {
+        // one token larger than the whole block: grow the block
+        carry = have;
+        block_bytes *= 2;
+        continue;
+      }
+    }
+    scan_block_into(buf.data(), (int64_t)scan_end, base, nthreads,
+                    &merged, &occ);
+    if (eof) break;
+    carry = have - scan_end;
+    std::memmove(buf.data(), buf.data() + scan_end, carry);
+    base += (int64_t)scan_end;
+  }
+  fclose(fp);
+  *ok = true;
+  return finalize_corpus(std::move(merged), total_bytes, occ,
+                         faithful_order);
+}
 
 Corpus build_corpus_from_file(const char* path, bool faithful_order,
                               int nthreads, bool* ok) {
@@ -170,6 +236,14 @@ Corpus build_corpus_from_file(const char* path, bool faithful_order,
   fseek(fp, 0, SEEK_END);
   long len = ftell(fp);
   fseek(fp, 0, SEEK_SET);
+  fclose(fp);
+  // Large files stream with bounded memory instead of one giant buffer.
+  const int64_t kStreamThreshold = 1LL << 31;   // 2 GiB
+  if ((int64_t)len > kStreamThreshold)
+    return build_corpus_streaming(path, faithful_order, nthreads,
+                                  1LL << 28, ok);
+  fp = fopen(path, "rb");
+  if (!fp) return corpus;
   std::vector<uint8_t> buf((size_t)len);
   if (len > 0 && fread(buf.data(), 1, (size_t)len, fp) != (size_t)len) {
     fclose(fp);

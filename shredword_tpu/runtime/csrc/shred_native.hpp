@@ -58,6 +58,10 @@ struct Corpus {
 // of the reference's dormant threads.cpp:13-24, here actually used).
 Corpus build_corpus(const uint8_t* data, int64_t len, bool faithful_order,
                     int nthreads);
+// Bounded-memory streaming loader (block-wise reads; identical output
+// to build_corpus on the same file, including faithful order).
+Corpus build_corpus_streaming(const char* path, bool faithful_order,
+                              int nthreads, int64_t block_bytes, bool* ok);
 Corpus build_corpus_from_file(const char* path, bool faithful_order,
                               int nthreads, bool* ok);
 

@@ -42,6 +42,10 @@ def _declare(L: ctypes.CDLL) -> None:
     L.shred_corpus_from_bytes.restype = p
     L.shred_corpus_from_file.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
     L.shred_corpus_from_file.restype = p
+    L.shred_corpus_from_file_streaming.argtypes = [ctypes.c_char_p,
+                                                   ctypes.c_int,
+                                                   ctypes.c_int, i64]
+    L.shred_corpus_from_file_streaming.restype = p
     for fn in ("shred_corpus_num_words", "shred_corpus_unique_bytes",
                "shred_corpus_total_raw_bytes", "shred_corpus_total_occurrences"):
         getattr(L, fn).argtypes = [p]
@@ -167,9 +171,18 @@ class NativeCorpus:
 
     @classmethod
     def from_file(cls, path: str, faithful_order: bool = False,
-                  nthreads: int = 0) -> "NativeCorpus":
-        h = lib().shred_corpus_from_file(path.encode(), int(faithful_order),
-                                         nthreads)
+                  nthreads: int = 0,
+                  block_bytes: int | None = None) -> "NativeCorpus":
+        """Load + dedup a corpus file.  Files over 2 GiB stream in
+        bounded-memory blocks automatically; pass ``block_bytes`` to
+        force streaming with a specific block size (identical output to
+        the whole-buffer path, including faithful order)."""
+        if block_bytes is not None:
+            h = lib().shred_corpus_from_file_streaming(
+                path.encode(), int(faithful_order), nthreads, block_bytes)
+        else:
+            h = lib().shred_corpus_from_file(path.encode(),
+                                             int(faithful_order), nthreads)
         if not h:
             raise IOError(f"Failed to load corpus from {path}")
         return cls(h)

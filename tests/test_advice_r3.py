@@ -152,3 +152,40 @@ def test_hist_train_respects_explicit_steps_for_giant(monkeypatch):
     bpe_hist.hist_train(toks, wid, counts, target_merges=5000,
                         interpret=True)
     assert seen["steps"] == 4096
+
+
+# ---------------------------------------------------------------------
+# streaming corpus ingestion (bounded memory, >2 GiB files)
+# ---------------------------------------------------------------------
+
+def test_streaming_loader_matches_whole_buffer(tmp_path):
+    import numpy as np
+    from shredword_tpu.runtime.native import NativeCorpus
+    rng = np.random.default_rng(3)
+    words = ["w%d" % i for i in range(500)]
+    path = tmp_path / "c.txt"
+    with open(path, "w") as f:
+        for _ in range(300):
+            f.write(" ".join(rng.choice(words, 20)) + "\n")
+    for fo in (False, True):
+        a = NativeCorpus.from_file(str(path), faithful_order=fo).arrays()
+        # tiny blocks force many boundary carries (4096 is the floor)
+        b = NativeCorpus.from_file(str(path), faithful_order=fo,
+                                   block_bytes=4096).arrays()
+        np.testing.assert_array_equal(a.word_bytes, b.word_bytes)
+        np.testing.assert_array_equal(a.offsets, b.offsets)
+        np.testing.assert_array_equal(a.counts, b.counts)
+        assert a.total_raw_bytes == b.total_raw_bytes
+        assert a.total_occurrences == b.total_occurrences
+
+
+def test_streaming_loader_token_bigger_than_block(tmp_path):
+    from shredword_tpu.runtime.native import NativeCorpus
+    path = tmp_path / "c.txt"
+    with open(path, "w") as f:
+        f.write("a " + "x" * 200000 + " b b\n")
+    a = NativeCorpus.from_file(str(path)).arrays()
+    b = NativeCorpus.from_file(str(path), block_bytes=70000).arrays()
+    import numpy as np
+    np.testing.assert_array_equal(a.word_bytes, b.word_bytes)
+    np.testing.assert_array_equal(a.counts, b.counts)

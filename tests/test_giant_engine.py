@@ -133,3 +133,26 @@ def test_giant_layout_roundtrip():
     # length sort is a permutation carrying weights along
     wc_cols = lay.wc[0, :lay.n_words]
     np.testing.assert_array_equal(np.sort(wc_cols), np.sort(wcnt))
+
+
+def test_giant_chunk_width_conformance():
+    """Wider DMA chunks must not change the merge sequence."""
+    import numpy as np
+    from shredword_tpu.ops import bpe_giant
+    rng = np.random.default_rng(11)
+    words = []
+    for _ in range(600):
+        n = int(rng.integers(2, 9))
+        words.append(bytes(rng.integers(97, 103, n).tolist()))
+    counts = rng.integers(1, 50, len(words)).astype(np.int32)
+    toks = np.concatenate([np.frombuffer(w, np.uint8).astype(np.int32)
+                           for w in words])
+    wid = np.repeat(np.arange(len(words), dtype=np.int32),
+                    [len(w) for w in words])
+    outs = []
+    for cw in (512, 1024):
+        m, f, *_ = bpe_giant.giant_train(
+            toks, wid, counts, target_merges=24, min_pair_freq=2,
+            interpret=True, steps_per_call=8, chunk_width=cw, _cache={})
+        outs.append((m.tolist(), f.tolist()))
+    assert outs[0] == outs[1]
