@@ -355,7 +355,8 @@ class BPETrainer:
         (tests/test_parallel.py)."""
         import jax
 
-        from ..parallel import make_mesh, sharded_hist_train, sharded_train
+        from ..parallel import (make_mesh, sharded_giant_train,
+                                sharded_hist_train, sharded_train)
 
         cfg = self.config
         if len(self._merges):
@@ -374,7 +375,14 @@ class BPETrainer:
                 tokens, word_id, counts, mesh=mesh, target_merges=target,
                 unk_id=cfg.unk_id, min_pair_freq=cfg.min_pair_freq,
                 interpret=interpret)
-            if out is None:    # vocab/layout outside the hist envelope
+            if out is None:    # beyond the replicated-table cap (2048):
+                # row-sharded giant table, vocab to 65536
+                engine = "giant"
+                out = sharded_giant_train(
+                    tokens, word_id, counts, mesh=mesh,
+                    target_merges=target, unk_id=cfg.unk_id,
+                    min_pair_freq=cfg.min_pair_freq)
+            if out is None:    # vocab/layout outside every table engine
                 engine = "flat"
                 out = sharded_train(
                     tokens, word_id, wcount, mesh=mesh,

@@ -6,9 +6,11 @@ the absent NCCL/MPI layer with XLA collectives over ICI.
 """
 
 from . import multihost
+from .giant import sharded_giant_train
 from .hist import sharded_hist_train
 from .train import (ShardedCorpus, make_mesh, shard_corpus,
                     sharded_train, sharded_train_loop)
 
 __all__ = ["ShardedCorpus", "make_mesh", "shard_corpus", "sharded_train",
-           "sharded_train_loop", "sharded_hist_train", "multihost"]
+           "sharded_train_loop", "sharded_hist_train",
+           "sharded_giant_train", "multihost"]

@@ -129,9 +129,61 @@ def test_bpetrainer_mesh_wiring(zipf_corpus_file):
     np.testing.assert_array_equal(t2.merges, single.merges)
 
 
-def test_bpetrainer_shards_flat_fallback(zipf_corpus_file):
-    """Vocab beyond the sharded-hist envelope falls back to the sharded
-    flat engine through the same public entry point."""
+def test_bpetrainer_shards_flat_fallback(zipf_corpus_file, monkeypatch):
+    """When both table engines decline, the sharded flat engine is
+    reached through the same public entry point."""
+    from shredword_tpu.models.bpe import BPETrainer
+    from shredword_tpu import parallel
+
+    single = BPETrainer(target_vocab_size=2400, unk_id=-1,
+                        character_coverage=0.9995, min_pair_freq=5,
+                        backend="tpu", engine="flat")
+    single.load_corpus(zipf_corpus_file)
+    n = single.train()
+    assert n > 0
+
+    monkeypatch.setattr(parallel, "sharded_giant_train",
+                        lambda *a, **k: None)
+    t = BPETrainer(target_vocab_size=2400, unk_id=-1,
+                   character_coverage=0.9995, min_pair_freq=5,
+                   backend="tpu", shards=2)
+    t.load_corpus(zipf_corpus_file)
+    assert t.train() == n
+    np.testing.assert_array_equal(t.merges, single.merges)
+
+
+def test_sharded_giant_matches_single_device():
+    """Table-row-sharded giant engine (vocab beyond one chip's table):
+    bit-identical merges to the single-device hist engine, invariant to
+    shard count."""
+    from shredword_tpu.ops import bpe_hist
+    from shredword_tpu.parallel import make_mesh, sharded_giant_train
+
+    rng = np.random.default_rng(5)
+    words = [bytes(rng.integers(97, 104, int(rng.integers(2, 8))).tolist())
+             for _ in range(300)]
+    counts = rng.integers(1, 60, len(words)).astype(np.int32)
+    toks = np.concatenate([np.frombuffer(w, np.uint8).astype(np.int32)
+                           for w in words])
+    wid = np.repeat(np.arange(len(words), dtype=np.int32),
+                    [len(w) for w in words])
+
+    m_ref, f_ref, _ = bpe_hist.hist_train(
+        toks, wid, counts, target_merges=32, min_pair_freq=2,
+        interpret=True, lazy_final=True)
+
+    for n_shards in (2, 8):
+        m, f = sharded_giant_train(
+            toks, wid, counts, mesh=make_mesh(n_shards),
+            target_merges=32, min_pair_freq=2, max_steps_per_call=16)
+        assert m.tolist() == m_ref.tolist()
+        assert f.tolist() == f_ref.tolist()
+
+
+def test_bpetrainer_shards_giant_engine(zipf_corpus_file):
+    """Vocab beyond the replicated-table cap (2048) routes to the
+    row-sharded giant engine through the public entry point and stays
+    bit-identical to single-device flat training."""
     from shredword_tpu.models.bpe import BPETrainer
 
     single = BPETrainer(target_vocab_size=2400, unk_id=-1,
@@ -143,7 +195,7 @@ def test_bpetrainer_shards_flat_fallback(zipf_corpus_file):
 
     t = BPETrainer(target_vocab_size=2400, unk_id=-1,
                    character_coverage=0.9995, min_pair_freq=5,
-                   backend="tpu", shards=2)
+                   backend="tpu", shards=4)
     t.load_corpus(zipf_corpus_file)
     assert t.train() == n
     np.testing.assert_array_equal(t.merges, single.merges)
