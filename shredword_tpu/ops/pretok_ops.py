@@ -282,3 +282,184 @@ def gpt_chunk_lens_bytes(data: bytes) -> np.ndarray:
     np.cumsum(blen, out=byte_off[1:])
     bounds = byte_off[np.concatenate([starts, [len(cp)]])]
     return np.diff(bounds)
+
+
+# ---------------------------------------------------------------------
+# device splitter: the same run logic as gpt_starts, jit-compiled
+# ---------------------------------------------------------------------
+#
+# Fixed-shape formulation for XLA: the dynamic-shape run compactions
+# (np.nonzero / searchsorted over run lists) become associative scans
+# (forward run-start / last-newline-so-far, reverse run-end /
+# next-newline) with run stats broadcast by GATHER through the
+# run-start positions, after which every alternative is per-position
+# boolean algebra.  Input is the int8 class array padded with the
+# sentinel class 16 to a shape bucket; output is the boolean
+# match-start mask.  Differential-tested against gpt_starts (and
+# therefore against the regex module) on adversarial + fuzzed inputs.
+#
+# Measured (v5e via tunnel): ~7.6 MB/s steady at 1M chars — the
+# generic associative scans cost ~dozens of memory passes, so the
+# 107 MB/s native single-pass scanner remains the default host path.
+# This device path exists for fully-on-device pipelines (split feeding
+# encode without a host hop) and as the sharding-ready formulation
+# (every op here is data-parallel over the mesh with a 3-char halo).
+
+def _jnp_scan_max(x, reverse=False):
+    import jax
+    return jax.lax.associative_scan(jax.numpy.maximum, x, reverse=reverse)
+
+
+def gpt_starts_mask_jnp(cls, n):
+    """jnp start mask; cls int8[N] (class 16 = padding), n = true length."""
+    import jax
+    import jax.numpy as jnp
+
+    N = cls.shape[0]
+    cls = cls.astype(jnp.int32)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    intext = idx < n
+    cls = jnp.where(intext, cls, 16)
+
+    def shift_next(x, k, fill):
+        return jnp.concatenate([x[k:], jnp.full((k,), fill, x.dtype)])
+
+    def shift_prev(x, k, fill):
+        return jnp.concatenate([jnp.full((k,), fill, x.dtype), x[:-k]])
+
+    nxt = shift_next(cls, 1, 16)
+    nxt2 = shift_next(cls, 2, 16)
+    prv = shift_prev(cls, 1, 16)
+
+    letterish = jnp.asarray(_LETTERISH)
+    wsany_t = jnp.asarray(_WSANY)
+    sdmt_t = jnp.asarray(_SDMT)
+
+    letter = letterish[cls]
+    wsany = wsany_t[cls]
+    nl = (cls == C_CR) | (cls == C_LF)
+    punct = (cls == C_OTHER) | (cls == C_APO)
+    digit = cls == C_DIGIT
+    letter_n = letterish[nxt]
+    punct_p = (prv == C_OTHER) | (prv == C_APO)
+
+    start = jnp.zeros(N + 3, jnp.bool_)
+
+    def mark(start, mask, shift=0):
+        pad = jnp.zeros(3, jnp.bool_)
+        m = jnp.concatenate([mask, pad])
+        if shift:
+            m = jnp.concatenate([jnp.zeros(shift, jnp.bool_),
+                                 m[:-shift]])
+        return start | m
+
+    # ---- alt 1: contractions
+    apo = cls == C_APO
+    blocked = punct_p | (prv == C_SPACE)
+    con1 = apo & ~blocked & sdmt_t[nxt]
+    con2 = (apo & ~blocked & ~con1
+            & (((nxt == C_L) & (nxt2 == C_L))
+               | ((nxt == C_V) & (nxt2 == C_E))
+               | ((nxt == C_R) & (nxt2 == C_E))))
+    start = mark(start, con1)
+    start = mark(start, con1, 2)
+    start = mark(start, con2)
+    start = mark(start, con2, 3)
+    con = con1 | con2
+    consumed = (shift_prev(con1, 1, False) | shift_prev(con2, 1, False)
+                | shift_prev(con2, 2, False))
+
+    # ---- alt 2: letter runs with optional absorbed prefix
+    consumed_p = shift_prev(consumed, 1, False)
+    letter_p = letterish[prv]
+    head = letter & ~consumed & (~letter_p | consumed_p)
+    prv2 = shift_prev(cls, 2, 16)
+    con_p = shift_prev(con, 1, False)
+    lone_punct_p = (punct_p & ~((prv2 == C_OTHER) | (prv2 == C_APO))
+                    & (prv2 != C_SPACE) & ~con_p)
+    ws_prefix_p = (prv == C_SPACE) | (prv == C_WS)
+    absorb = head & (lone_punct_p | ws_prefix_p) & (idx > 0)
+    start = mark(start, head & ~absorb)
+    start = start | jnp.concatenate(
+        [shift_next(absorb, 1, False), jnp.zeros(3, jnp.bool_)])
+
+    # ---- alt 3: digit blocks of 3 anchored at run starts
+    drs = digit & ~shift_prev(digit, 1, False)
+    run_start = _jnp_scan_max(jnp.where(drs, idx, -1))
+    off = idx - run_start
+    blk = digit & (off % 3 == 0)
+    start = mark(start, blk)
+    dre = digit & ~shift_next(digit, 1, False)
+    start = mark(start, dre, 1)
+
+    # ---- alt 4: punct runs (+space prefix)
+    prs = punct & ~punct_p & ~con
+    sp_absorb = prs & (prv == C_SPACE) & (idx > 0)
+    lone = punct & ~punct_p & ~((nxt == C_OTHER) | (nxt == C_APO))
+    eaten = lone & letter_n & ~con & ~(prv == C_SPACE)
+    start = mark(start, prs & ~sp_absorb & ~eaten)
+    start = start | jnp.concatenate(
+        [shift_next(sp_absorb, 1, False), jnp.zeros(3, jnp.bool_)])
+
+    # ---- alts 5/6/7: whitespace runs.  Run stats (start a, end b,
+    # first non-newline, absorb flag, last newline) broadcast to every
+    # position by GATHERING through the run-start/run-end position
+    # scans — a value max-scan would leak across runs.
+    wrs = wsany & ~shift_prev(wsany, 1, False)
+    wre = wsany & ~shift_next(wsany, 1, False)
+    big = jnp.int32(N + 8)
+    a_of = _jnp_scan_max(jnp.where(wrs, idx, -1))               # run start
+    b_of = -_jnp_scan_max(jnp.where(wre, -(idx + 1), -big),
+                          reverse=True)                         # run end+1
+    a_clip = jnp.clip(a_of, 0, N - 1)
+    bm1 = jnp.clip(b_of - 1, 0, N - 1)
+    valid = wsany & (a_of >= 0)
+
+    nonnl = wsany & ~nl
+    first_nonnl_from = -_jnp_scan_max(jnp.where(nonnl, -idx, -big),
+                                      reverse=True)
+    fnn = first_nonnl_from[a_clip]
+    lead = jnp.minimum(fnn, b_of) - a_of
+    prev_punct_a = shift_prev(punct, 1, False)
+    absorb_nl_at_a = prev_punct_a & nl & wrs & (idx > 0)
+    absorb_nl = absorb_nl_at_a[a_clip]
+    p0 = jnp.where(absorb_nl, a_of + lead, a_of)
+    # last newline at or before the run's final position (values from
+    # BEFORE the run fall below p0 and are rejected by the guards)
+    lastnl_upto = _jnp_scan_max(jnp.where(nl, idx, -1))
+    lastnl_bc = lastnl_upto[bm1]
+
+    start = start | mark(jnp.zeros(N + 3, jnp.bool_),
+                         valid & (idx == p0) & (p0 < b_of))
+    mark_nl = valid & (lastnl_bc >= p0) & (idx == lastnl_bc + 1) \
+        & (idx < b_of)
+    start = start | mark(jnp.zeros(N + 3, jnp.bool_), mark_nl)
+    rem = jnp.maximum(p0, jnp.where(lastnl_bc >= p0, lastnl_bc + 1, p0))
+    leftover = valid & wre & (b_of < n) & (b_of - rem >= 2)
+    start = start | mark(jnp.zeros(N + 3, jnp.bool_), leftover)
+
+    out = start[:N]
+    out = out.at[0].set(True)
+    return out & intext
+
+
+def gpt_starts_device(cp: np.ndarray, _cache={}) -> np.ndarray:
+    """Match-start indices via the ON-DEVICE splitter (XLA-fused scans;
+    the north-star byte-class DFA running as a TPU program).  Shapes
+    bucket to powers of two so steady state never recompiles."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(cp)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    cls = class_table()[np.asarray(cp, np.uint32)].astype(np.int8)
+    cap = 1024
+    while cap < n:
+        cap *= 2
+    pad = np.full(cap, 16, np.int8)
+    pad[:n] = cls
+    if cap not in _cache:
+        _cache[cap] = jax.jit(gpt_starts_mask_jnp)
+    mask = _cache[cap](jnp.asarray(pad), jnp.int32(n))
+    return np.nonzero(np.asarray(mask)[:n])[0].astype(np.int64)

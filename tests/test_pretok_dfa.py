@@ -86,3 +86,24 @@ def test_tokenizer_gpt_pattern_encode_matches_regex_chunking():
     # round trip
     tok = Tokenizer(merges=merges, pattern="gpt")
     assert tok.decode(tok.encode(text)) == text
+
+
+@pytest.mark.parametrize("s", CASES)
+def test_device_splitter_matches_host(s):
+    cp = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+    want = pretok_ops.gpt_starts(cp).tolist()
+    assert pretok_ops.gpt_starts_device(cp).tolist() == want
+
+
+def test_device_splitter_fuzz():
+    rng = np.random.default_rng(17)
+    alphabet = list("abcsSDMTLVRE 'AB12890!?.\t\r\n\x0b") + [
+        chr(c) for c in (0x85, 0xA0, 0x2028, 0x3000, 0x17F, 0x660,
+                         0x4E00, 0x1F600, 0xBC)]
+    for _ in range(120):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(int(rng.integers(1, 120))))
+        cp = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+        want = pretok_ops.gpt_starts(cp).tolist()
+        got = pretok_ops.gpt_starts_device(cp).tolist()
+        assert got == want, repr(s)
