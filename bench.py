@@ -183,6 +183,34 @@ def check_device_engines() -> None:
                      "(model+vocab bit-identical)\n")
 
 
+class _SideMetricTimeout(RuntimeError):
+    pass
+
+
+class _alarm:
+    """SIGALRM guard for side metrics: a hung cold compile (the tunnel
+    compile helper sporadically takes ~450 s) must not prevent the main
+    JSON line from printing."""
+
+    def __init__(self, seconds: int):
+        self.seconds = seconds
+
+    def __enter__(self):
+        import signal
+
+        def handler(signum, frame):
+            raise _SideMetricTimeout(f"side metric > {self.seconds}s")
+
+        self._old = signal.signal(signal.SIGALRM, handler)
+        signal.alarm(self.seconds)
+
+    def __exit__(self, *exc):
+        import signal
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        return False
+
+
 def _best_mbs(fn, nbytes: float, trials: int = 3) -> float:
     """Steady-state MB/s: best of `trials` (first call is warm already;
     remaining variance is tunnel jitter and page-fault noise)."""
@@ -230,6 +258,23 @@ def measure_encode() -> dict:
             "n_ids": len(ids)}
 
 
+def measure_giant_vocab() -> dict:
+    """32k-vocab train on the bench corpus (giant HBM-table engine) —
+    BASELINE config 2's engine at bench scale.  The full-scale number
+    (1 GB: 10.9 MB/s vs reference 0.365, ~30x) is in BASELINE.md."""
+    from shredword_tpu.models.bpe import BPETrainer
+    t = BPETrainer(target_vocab_size=32768, unk_id=-1,
+                   character_coverage=1.0, min_pair_freq=2,
+                   backend="tpu")
+    t.load_corpus(CORPUS)
+    t0 = time.perf_counter()
+    n = t.train()
+    dt = time.perf_counter() - t0
+    mb = os.path.getsize(CORPUS) / 1e6
+    return {"merges": n, "seconds": dt, "mbs": mb / dt,
+            "ms_per_merge": dt / max(n, 1) * 1000}
+
+
 def measure_presplit() -> dict:
     """GPT-pattern pre-split MB/s: native scanner vs the regex module
     (BASELINE config 4)."""
@@ -271,7 +316,8 @@ def main() -> None:
         f"({ref_n} merges, {base:.1f} MB/s); tpu: {tpu_dt:.2f}s "
         f"({tpu_n} merges, {ours:.1f} MB/s)\n")
     try:
-        pre = measure_presplit()
+        with _alarm(120):
+            pre = measure_presplit()
         sys.stderr.write(
             f"[bench] gpt pre-split: native {pre['native']:.0f} MB/s vs "
             f"regex module {pre['regex']:.1f} MB/s ({pre['x']:.0f}x, "
@@ -279,7 +325,8 @@ def main() -> None:
     except Exception as e:
         sys.stderr.write(f"[bench] pre-split side-metric failed: {e}\n")
     try:
-        e = measure_encode()
+        with _alarm(360):
+            e = measure_encode()
         sys.stderr.write(
             f"[bench] encode: cpu native {e['cpu_mbs']:.1f} MB/s "
             f"({e['n_ids']} ids, round-trip exact), tpu whole-text "
@@ -289,6 +336,15 @@ def main() -> None:
             f"to compare\n")
     except Exception as e:  # encode side-metric must never sink the bench
         sys.stderr.write(f"[bench] encode side-metric failed: {e}\n")
+    try:
+        with _alarm(360):
+            g = measure_giant_vocab()
+        sys.stderr.write(
+            f"[bench] 32k-vocab train (giant engine): {g['merges']} "
+            f"merges in {g['seconds']:.1f}s — {g['mbs']:.1f} MB/s, "
+            f"{g['ms_per_merge']:.2f} ms/merge\n")
+    except Exception as e:
+        sys.stderr.write(f"[bench] 32k-vocab side-metric failed: {e}\n")
     print(json.dumps({
         "metric": "train_mb_s",
         "value": round(ours, 2),
