@@ -247,6 +247,12 @@ def _encode_core(flat: jax.Array, off: jax.Array, lens: jax.Array,
         nxt = _shift_up_rows(t, -1)
         valid = (t >= 0) & (nxt >= 0)
         rank = rank_of(t, nxt, valid)
+        # Per round: all occurrences of each column's single lowest-rank
+        # pair.  (A "merge all local rank minima" round was tried and is
+        # UNSOUND: merging a distant lowest-rank pair can create a NEW
+        # pair of intermediate rank overlapping a local minimum — e.g.
+        # "fhus" with ranks us=11 < h+US=?? < fh=394 — preempting it
+        # under the sequential lowest-rank-first contract.)
         rmin = jnp.min(rank, axis=0, keepdims=True)      # [1, W]
         m = (rank == rmin) & (rank < RANK_INF)
         # greedy overlap rule as a log-step parity scan down rows (the

@@ -190,3 +190,42 @@ def test_encode_batch_tpu_single_dispatch_matches_per_text():
     batch = tok.encode_batch(corpus)
     single = [tok.encode(t) for t in corpus]
     assert batch == single
+
+
+def test_tpu_encode_created_pair_preemption():
+    """Merge-ORDER regression: a distant lowest-rank merge can CREATE a
+    pair of intermediate rank that preempts an existing local rank
+    minimum — so per-round selection must be the column's single
+    lowest rank, not "all local minima".  Crafted from the minimal
+    counterexample 'fhus': ranks us=0 < (h,US)=1 < fh=2; sequential
+    greedy yields [f, h+US]; the unsound round yields [FH, US]."""
+    import numpy as np
+    from shredword_tpu import Tokenizer
+
+    merges = np.array([[117, 115],        # 'us'      -> 256
+                       [104, 256],        # 'h'+US    -> 257
+                       [102, 104]],       # 'fh'      -> 258
+                      np.int32)
+    want = [102, 257]                     # f, h+US
+    for backend in ("cpu", "tpu"):
+        tok = Tokenizer(merges=merges, backend=backend)
+        assert tok.encode("fhus") == want, backend
+
+
+def test_tpu_encode_rank_order_fuzz(zipf_corpus_file):
+    """Dense cpu-vs-tpu differential over real-corpus words (merge-ORDER
+    coverage at realistic rank depth)."""
+    import numpy as np
+    from shredword_tpu import Tokenizer
+
+    tok = Tokenizer.train(zipf_corpus_file, vocab_size=600,
+                          min_pair_freq=5, character_coverage=0.9995,
+                          backend="cpu", tie_break="faithful")
+    words = open(zipf_corpus_file).read().split()[:3000]
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        s = " ".join(rng.choice(words, int(rng.integers(1, 8))))
+        tok.backend = "cpu"
+        want = tok.encode(s)
+        tok.backend = "tpu"
+        assert tok.encode(s) == want, repr(s)
