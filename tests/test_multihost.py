@@ -47,6 +47,15 @@ res = sharded_hist_train(tokens, word_id, wc_word, mesh=mesh,
                          interpret=True)
 assert res is not None
 merges, freqs = res
+
+# the row-sharded giant-table engine over the same two-process mesh
+from shredword_tpu.parallel import sharded_giant_train
+res2 = sharded_giant_train(tokens, word_id, wc_word, mesh=mesh,
+                           target_merges=12, unk_id=-1, min_pair_freq=2)
+assert res2 is not None
+assert res2[0].tolist() == merges.tolist(), "giant != hist across hosts"
+assert res2[1].tolist() == freqs.tolist()
+
 np.save(out, np.concatenate([merges.reshape(-1), freqs]))
 print("rank", rank, "ok", len(merges))
 """
