@@ -264,8 +264,8 @@ def _giant_kernel(v: int, L: int, NC: int, W: int, cw: int,
                   tw_out, h_io, p_io, rmax_ref, mrow_ref,  # outputs
                   done_s, dl_ref, dr_ref, rowbuf, slabbuf,
                   tbuf, wbuf, prgrp, stillA, stillB, hasN, flagsv,
-                  flag_smem, subt, subsel, subw,
-                  sem_a, sem_b, sem_c, sem_d):
+                  flag_smem, list_smem, subt, subsel, subw,
+                  sem_a, sem_b, sem_c, sem_t, sem_w):
     # h_in/p_in/tw_hbm are only accessed through their aliases (in-place).
     del h_in, p_in
     vh = v // 128
@@ -361,54 +361,83 @@ def _giant_kernel(v: int, L: int, NC: int, W: int, cw: int,
 
         lane_nc = jax.lax.broadcasted_iota(jnp.int32, (1, NC), 1)
 
-        # ---- corpus pass over flagged chunks only
-        def chunk_body(c, carry):
+        # ---- compact the flagged chunk ids into an SMEM list (scalar
+        # sweep), then iterate DENSELY over flagged chunks with
+        # double-buffered input DMA: chunk k+1's tokens+weights stream
+        # in while chunk k is processed, hiding the per-chunk DMA
+        # latency that dominates the sweep at large NC
+        def scanf(c, cnt):
             @pl.when(flag_smem[0, c] != 0)
             def _():
-                l_c = lens_ref[c]
-                cp_t = pltpu.make_async_copy(
-                    tw_out.at[:, pl.ds(c * cw, cw)], tbuf, sem_c)
-                cp_w = pltpu.make_async_copy(
-                    wc_hbm.at[:, pl.ds(c * cw, cw)], wbuf, sem_d)
-                cp_t.start()
-                cp_w.start()
-                cp_t.wait()
-                cp_w.wait()
-                tt = tbuf[:].astype(jnp.int32)
-                nxt0 = _shift_up(tt, PAD)
-                mm = (tt == a) & (nxt0 == b)
+                list_smem[0, cnt] = c
+            return cnt + jnp.where(flag_smem[0, c] != 0, 1, 0)
 
-                @pl.when(jnp.any(mm))
-                def _():
-                    t2, sel = _select_apply_dyn(tt, a, b, new, l_c, L)
-                    tbuf[:] = t2.astype(jnp.int16)
-                    # exact MXU scatter is capped at 512 lanes; run it on
-                    # sub-slices of the (wider) DMA chunk, staged through
-                    # scratch so each slice gets a zero-offset layout
-                    ww = wbuf[:]
-                    for j in range(cw // MXU_C):
-                        sl = slice(j * MXU_C, (j + 1) * MXU_C)
-                        @pl.when(jnp.any(mm[:, sl]))
-                        def _(sl=sl):
-                            subt[:] = tt[:, sl]
-                            subsel[:] = sel[:, sl]
-                            subw[:] = ww[:, sl]
-                            _slot_deltas_mxu(subt[:], subsel[:],
-                                             subw[:], new, unk, l_c,
-                                             vh, dl_ref, dr_ref)
-                    here = (lane_nc == c)
-                    stillA[:] = jnp.where(
-                        here, jnp.any(t2 == a).astype(jnp.int32), stillA[:])
-                    stillB[:] = jnp.where(
-                        here, jnp.any(t2 == b).astype(jnp.int32), stillB[:])
-                    hasN[:] = jnp.where(here, 1, hasN[:])
-                    cp_o = pltpu.make_async_copy(
-                        tbuf, tw_out.at[:, pl.ds(c * cw, cw)], sem_c)
-                    cp_o.start()
-                    cp_o.wait()
+        nf = jax.lax.fori_loop(0, nc_used, scanf, jnp.int32(0))
+
+        def start_in(k, slot):
+            c = list_smem[0, k]
+            pltpu.make_async_copy(
+                tw_out.at[:, pl.ds(c * cw, cw)], tbuf.at[slot],
+                sem_t.at[slot]).start()
+            pltpu.make_async_copy(
+                wc_hbm.at[:, pl.ds(c * cw, cw)], wbuf.at[slot],
+                sem_w.at[slot]).start()
+
+        @pl.when(nf > 0)
+        def _():
+            start_in(0, 0)
+
+        def chunk_body(k, carry):
+            slot = jax.lax.rem(k, 2)
+            c = list_smem[0, k]
+            l_c = lens_ref[c]
+            pltpu.make_async_copy(
+                tw_out.at[:, pl.ds(c * cw, cw)], tbuf.at[slot],
+                sem_t.at[slot]).wait()
+            pltpu.make_async_copy(
+                wc_hbm.at[:, pl.ds(c * cw, cw)], wbuf.at[slot],
+                sem_w.at[slot]).wait()
+
+            @pl.when(k + 1 < nf)
+            def _():
+                start_in(k + 1, 1 - slot)
+
+            tt = tbuf[slot].astype(jnp.int32)
+            nxt0 = _shift_up(tt, PAD)
+            mm = (tt == a) & (nxt0 == b)
+
+            @pl.when(jnp.any(mm))
+            def _():
+                t2, sel = _select_apply_dyn(tt, a, b, new, l_c, L)
+                tbuf[slot] = t2.astype(jnp.int16)
+                # exact MXU scatter is capped at 512 lanes; run it on
+                # sub-slices of the (wider) DMA chunk, staged through
+                # scratch so each slice gets a zero-offset layout
+                ww = wbuf[slot]
+                for j in range(cw // MXU_C):
+                    sl = slice(j * MXU_C, (j + 1) * MXU_C)
+                    @pl.when(jnp.any(mm[:, sl]))
+                    def _(sl=sl):
+                        subt[:] = tt[:, sl]
+                        subsel[:] = sel[:, sl]
+                        subw[:] = ww[:, sl]
+                        _slot_deltas_mxu(subt[:], subsel[:],
+                                         subw[:], new, unk, l_c,
+                                         vh, dl_ref, dr_ref)
+                here = (lane_nc == c)
+                stillA[:] = jnp.where(
+                    here, jnp.any(t2 == a).astype(jnp.int32), stillA[:])
+                stillB[:] = jnp.where(
+                    here, jnp.any(t2 == b).astype(jnp.int32), stillB[:])
+                hasN[:] = jnp.where(here, 1, hasN[:])
+                cp_o = pltpu.make_async_copy(
+                    tbuf.at[slot], tw_out.at[:, pl.ds(c * cw, cw)],
+                    sem_c)
+                cp_o.start()
+                cp_o.wait()
             return carry
 
-        jax.lax.fori_loop(0, nc_used, chunk_body, 0)
+        jax.lax.fori_loop(0, nf, chunk_body, 0)
 
         # ---- exact presence row rewrites (a, then b, then new; groups
         # are re-read so overlapping 32-row groups stay consistent)
@@ -552,21 +581,23 @@ def make_giant_train(v: int, L: int, NC: int, steps: int,
                     pltpu.VMEM((vh, 128), jnp.int32),        # dr
                     pltpu.VMEM((vh, 128), jnp.int32),        # rowbuf
                     pltpu.VMEM((SLAB, 128), jnp.int32),      # slabbuf
-                    pltpu.VMEM((L, cw), jnp.int16),          # tbuf
-                    pltpu.VMEM((1, cw), jnp.int32),          # wbuf
+                    pltpu.VMEM((2, L, cw), jnp.int16),       # tbuf x2
+                    pltpu.VMEM((2, 1, cw), jnp.int32),       # wbuf x2
                     pltpu.VMEM((32, NC), jnp.int8),          # presence grp
                     pltpu.VMEM((1, NC), jnp.int32),          # stillA
                     pltpu.VMEM((1, NC), jnp.int32),          # stillB
                     pltpu.VMEM((1, NC), jnp.int32),          # hasN
                     pltpu.VMEM((1, NC), jnp.int32),          # flags
                     pltpu.SMEM((1, NC), jnp.int32),          # flags scan
+                    pltpu.SMEM((1, NC), jnp.int32),          # flagged list
                     pltpu.VMEM((L, MXU_C), jnp.int32),       # subt
                     pltpu.VMEM((L, MXU_C), jnp.int32),       # subsel
                     pltpu.VMEM((1, MXU_C), jnp.int32),       # subw
-                    pltpu.SemaphoreType.DMA(()),
-                    pltpu.SemaphoreType.DMA(()),
-                    pltpu.SemaphoreType.DMA(()),
-                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA(()),             # sem_a
+                    pltpu.SemaphoreType.DMA(()),             # sem_b
+                    pltpu.SemaphoreType.DMA(()),             # sem_c
+                    pltpu.SemaphoreType.DMA((2,)),           # sem_t
+                    pltpu.SemaphoreType.DMA((2,)),           # sem_w
                 ],
             ),
             out_shape=[
@@ -616,7 +647,8 @@ def _is_resource_error(e: Exception) -> bool:
     msg = repr(e).lower()
     return any(k in msg for k in
                ("smem", "scalar memory", "vmem", "resource exhausted",
-                "resource_exhausted", "exceeds", "out of memory"))
+                "resource_exhausted", "memory exhausted",
+                "exceeds available"))
 
 
 def giant_train(tokens: np.ndarray, word_id: np.ndarray,
@@ -630,7 +662,8 @@ def giant_train(tokens: np.ndarray, word_id: np.ndarray,
     16 bytes of readback per merge.  Returns (merges[M, 2], freqs[M],
     final tokens, final word_id) — or a lazy final_fn — or None if the
     problem is outside the engine's envelope (vocab > 32768, a word
-    longer than max_word_len, unk_id >= 256, > 8.4M unique words)."""
+    longer than max_word_len, unk_id >= 256, more than
+    MAX_NC * chunk_width unique words — 16.7M at the default width)."""
     cw = C if chunk_width is None else chunk_width
     if cw % MXU_C:
         raise ValueError(f"chunk_width must be a multiple of {MXU_C}")

@@ -442,6 +442,14 @@ def _encode_all(flat: np.ndarray, lens: np.ndarray, off: np.ndarray,
 # chunks the hash pass + expansion overhead beats nothing
 DEDUP_MIN_CHUNKS = 2048
 
+# single-block cap for the deduped sub-problem: beyond this many [L, W]
+# cells (int32), fall back to length buckets so device memory stays
+# bounded and short chunks don't ride in a tall block
+SINGLE_BLOCK_MAX_CELLS = 1 << 24
+
+# one device call's stream window (int32 gather offsets on device)
+STREAM_WINDOW_BYTES = 2 ** 31 - 2 ** 27
+
 
 def _try_dedup(flat, off, lens):
     try:
@@ -453,6 +461,40 @@ def _try_dedup(flat, off, lens):
     if len(uniq) * 2 > len(lens):
         return None
     return inverse, uniq
+
+
+def _encode_counts(flat, lens, off, table, v):
+    """(ids int32 in chunk order, counts int64[n]) for one <2 GiB
+    window, deduplicating when the stream repeats itself."""
+    n = len(lens)
+    dd = _try_dedup(flat, off, lens) if n >= DEDUP_MIN_CHUNKS else None
+    if dd is None:
+        return _encode_all(flat, lens, off, table, v)
+
+    # dedup path: encode unique chunks (compacted into their own small
+    # flat buffer), then expand to the full stream by gather
+    inverse, uniq = dd
+    lens_u = lens[uniq]
+    off_u = np.zeros(len(uniq), np.int64)
+    np.cumsum(lens_u[:-1], out=off_u[1:])
+    src = np.repeat(off[uniq], lens_u) + (
+        np.arange(int(lens_u.sum()), dtype=np.int64)
+        - np.repeat(off_u, lens_u))
+    Lb = _bucket(int(lens_u.max(initial=1)), floor=4)
+    Wb = _bucket(len(uniq), floor=256)
+    ids_u, cnt_u = _encode_all(
+        flat[src], lens_u, off_u, table, v,
+        single_block=Lb * Wb <= SINGLE_BLOCK_MAX_CELLS)
+    uoff = np.zeros(len(uniq) + 1, np.int64)
+    np.cumsum(cnt_u, out=uoff[1:])
+    counts_full = cnt_u[inverse]
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(counts_full, out=out_off[1:])
+    total = int(out_off[-1])
+    inner = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1],
+                                                         counts_full)
+    out = ids_u[np.repeat(uoff[inverse], counts_full) + inner]
+    return out, counts_full
 
 
 def encode_stream(flat: np.ndarray, lens: np.ndarray, merges: np.ndarray,
@@ -470,8 +512,10 @@ def encode_stream(flat: np.ndarray, lens: np.ndarray, merges: np.ndarray,
     deduplicated by a native hash pass first: the device encodes each
     DISTINCT chunk once and the full id stream is a host-side gather —
     both link directions and device work shrink by the duplication
-    factor.  The dense rank table is built ON DEVICE and cached via
-    `_cache`.
+    factor.  Streams over ~2 GiB are processed in chunk-aligned windows
+    (device gather offsets are int32) and stitched — group boundaries
+    may span windows freely.  The dense rank table is built ON DEVICE
+    and cached via `_cache`.
     """
     n = len(lens)
     lens = np.asarray(lens, np.int64)
@@ -482,41 +526,34 @@ def encode_stream(flat: np.ndarray, lens: np.ndarray, merges: np.ndarray,
     if n == 0:
         return [np.zeros(0, np.int32)] * g
     flat = np.asarray(flat, np.uint8)
-    if len(flat) >= 2 ** 31:
-        raise ValueError("encode_stream input over 2 GiB: split the "
-                         "stream into multiple calls")
     off = np.zeros(n, np.int64)
     np.cumsum(lens[:-1], out=off[1:])
     table = _get_table(merges, v, _cache)
 
-    dd = _try_dedup(flat, off, lens) if n >= DEDUP_MIN_CHUNKS else None
-    if dd is None:
-        ids, counts = _encode_all(flat, lens, off, table, v)
-        out_off = np.zeros(n + 1, np.int64)
-        np.cumsum(counts, out=out_off[1:])
-        return (np.split(ids, out_off[gbn[1:-1]]) if g > 1 else [ids])
+    if len(flat) <= STREAM_WINDOW_BYTES:
+        ids, counts = _encode_counts(flat, lens, off, table, v)
+    else:
+        # window the stream at chunk boundaries; per-chunk counts make
+        # the final group split window-agnostic
+        parts, cparts = [], []
+        c0 = 0
+        while c0 < n:
+            c1 = int(np.searchsorted(
+                off, off[c0] + STREAM_WINDOW_BYTES, side="right")) - 1
+            c1 = max(c1, c0 + 1)
+            w_off = off[c0:c1] - off[c0]
+            w_end = int(off[c1]) if c1 < n else len(flat)
+            ids_w, cnt_w = _encode_counts(
+                flat[int(off[c0]):w_end], lens[c0:c1], w_off, table, v)
+            parts.append(ids_w)
+            cparts.append(cnt_w)
+            c0 = c1
+        ids = np.concatenate(parts)
+        counts = np.concatenate(cparts)
 
-    # dedup path: encode unique chunks (compacted into their own small
-    # flat buffer), then expand to the full stream by gather
-    inverse, uniq = dd
-    lens_u = lens[uniq]
-    off_u = np.zeros(len(uniq), np.int64)
-    np.cumsum(lens_u[:-1], out=off_u[1:])
-    src = np.repeat(off[uniq], lens_u) + (
-        np.arange(int(lens_u.sum()), dtype=np.int64)
-        - np.repeat(off_u, lens_u))
-    ids_u, cnt_u = _encode_all(flat[src], lens_u, off_u, table, v,
-                               single_block=True)
-    uoff = np.zeros(len(uniq) + 1, np.int64)
-    np.cumsum(cnt_u, out=uoff[1:])
-    counts_full = cnt_u[inverse]
     out_off = np.zeros(n + 1, np.int64)
-    np.cumsum(counts_full, out=out_off[1:])
-    total = int(out_off[-1])
-    inner = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1],
-                                                         counts_full)
-    out = ids_u[np.repeat(uoff[inverse], counts_full) + inner]
-    return np.split(out, out_off[gbn[1:-1]]) if g > 1 else [out]
+    np.cumsum(counts, out=out_off[1:])
+    return np.split(ids, out_off[gbn[1:-1]]) if g > 1 else [ids]
 
 
 def encode_chunks(chunks: list[bytes], table: MergeTable,

@@ -54,16 +54,11 @@ from ..ops import bpe_hist
 from . import hist as _hist
 from . import train
 
+from ..ops.encode_ops import (_shift_down_rows as _shift_down,
+                              _shift_up_rows as _shift_up)
+
 INT32_MAX = jnp.iinfo(jnp.int32).max
 MAX_V = 65536
-
-
-def _shift_up(x, fill):
-    return jnp.concatenate([x[1:], jnp.full_like(x[:1], fill)], axis=0)
-
-
-def _shift_down(x, fill):
-    return jnp.concatenate([jnp.full_like(x[:1], fill), x[:-1]], axis=0)
 
 
 def _select_apply(tt, a, b, new, L):

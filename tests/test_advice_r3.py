@@ -189,3 +189,48 @@ def test_streaming_loader_token_bigger_than_block(tmp_path):
     import numpy as np
     np.testing.assert_array_equal(a.word_bytes, b.word_bytes)
     np.testing.assert_array_equal(a.counts, b.counts)
+
+
+# ---------------------------------------------------------------------
+# >2 GiB stream windowing (review finding: must split, not raise)
+# ---------------------------------------------------------------------
+
+def test_encode_stream_windows_large_streams(monkeypatch):
+    rng = np.random.default_rng(8)
+    words = [bytes(rng.integers(97, 110, int(rng.integers(1, 12))).tolist())
+             for _ in range(4000)]
+    flat = np.frombuffer(b"".join(words), np.uint8)
+    lens = np.array([len(w) for w in words], np.int64)
+    merges = np.asarray([(97, 98), (99, 100), (256, 101), (102, 257)],
+                        np.int32)
+    gbn = np.array([0, 7, 1500, 1501, 4000], np.int64)  # spans windows
+    v = 256 + len(merges)
+    want = encode_ops.encode_stream(flat, lens, merges, v, gbn)
+    monkeypatch.setattr(encode_ops, "STREAM_WINDOW_BYTES", 4096)
+    got = encode_ops.encode_stream(flat, lens, merges, v, gbn)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_dedup_single_block_cell_cap(monkeypatch):
+    """Huge unique sets must fall back to length buckets, not one tall
+    block (review finding: unbounded [L, W] single block)."""
+    calls = []
+    orig = encode_ops._encode_all
+
+    def spy(flat, lens, off, table, v, single_block=False):
+        calls.append(single_block)
+        return orig(flat, lens, off, table, v, single_block=single_block)
+
+    monkeypatch.setattr(encode_ops, "_encode_all", spy)
+    monkeypatch.setattr(encode_ops, "SINGLE_BLOCK_MAX_CELLS", 64)
+    monkeypatch.setattr(encode_ops, "DEDUP_MIN_CHUNKS", 8)
+    rng = np.random.default_rng(9)
+    words = [b"ab", b"cd", b"abcd", b"ab"] * 64
+    flat = np.frombuffer(b"".join(words), np.uint8)
+    lens = np.array([len(w) for w in words], np.int64)
+    merges = np.asarray([(97, 98)], np.int32)
+    out = encode_ops.encode_stream(flat, lens, merges, 257)
+    assert calls == [False]      # dedup ran, but bucketed
+    assert len(out[0]) > 0
