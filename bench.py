@@ -157,14 +157,15 @@ def measure_tpu() -> tuple[float, int]:
 
 
 def check_device_engines() -> None:
-    """Cross-check: the hist and flat engines are independent device
-    counting paths (maintained pair table + Pallas kernels vs sort-based
-    segment reduction) that must produce bit-identical models.  Guards
-    the headline metric against silent hardware numerics bugs (e.g. the
+    """Cross-check: the hist, giant, and flat engines are three
+    independent device counting paths (VMEM pair table + fused Pallas
+    kernel; HBM table + presence-indexed chunk sweep; sort-based segment
+    reduction) that must produce bit-identical models.  Guards the
+    headline metric against silent hardware numerics bugs (e.g. the
     bf16-truncated Mosaic MXU dots this caught once already)."""
     from shredword_tpu.models.bpe import BPETrainer
     outs = {}
-    for eng in ("hist", "flat"):
+    for eng in ("hist", "giant", "flat"):
         t = BPETrainer(target_vocab_size=VOCAB, unk_id=-1,
                        character_coverage=COVERAGE, min_pair_freq=MIN_FREQ,
                        backend="tpu", engine=eng)
@@ -175,12 +176,12 @@ def check_device_engines() -> None:
         t.save(mp, vp)
         t.destroy()
         outs[eng] = (open(mp, "rb").read(), open(vp, "rb").read())
-    if outs["hist"] != outs["flat"]:
+    if not (outs["hist"] == outs["flat"] == outs["giant"]):
         raise RuntimeError(
-            "device engine cross-check FAILED: hist and flat engines "
-            "disagree — the measured result cannot be trusted")
-    sys.stderr.write("[bench] device engine cross-check: hist == flat "
-                     "(model+vocab bit-identical)\n")
+            "device engine cross-check FAILED: the engines disagree — "
+            "the measured result cannot be trusted")
+    sys.stderr.write("[bench] device engine cross-check: hist == giant "
+                     "== flat (model+vocab bit-identical)\n")
 
 
 class _SideMetricTimeout(RuntimeError):

@@ -31,9 +31,12 @@ class BPEConfig:
     compact_every: int = 64             # host-side re-compactions (steps)
     tie_break: str = "lex"              # "lex" | "faithful" (CPU selector)
     backend: str = "tpu"                # "tpu" | "cpu"
-    engine: str = "auto"                # "auto" | "hist" | "flat" — TPU
-                                        # merge-loop engine (hist = fused
-                                        # Pallas kernel + pair table;
+    engine: str = "auto"                # "auto" | "hist" | "giant" |
+                                        # "flat" — TPU merge-loop engine
+                                        # (hist = fused Pallas kernel +
+                                        # pair table, routes to giant
+                                        # above vocab 4096; giant = the
+                                        # HBM-table engine explicitly;
                                         # flat = sort-based stream)
     checkpoint_path: str | None = None  # mid-training checkpoint file
     checkpoint_every: int = 0           # merges between checkpoints (0=off)
@@ -63,7 +66,7 @@ class BPEConfig:
             raise ConfigError(f"unknown tie_break {self.tie_break!r}")
         if self.backend not in ("tpu", "cpu"):
             raise ConfigError(f"unknown backend {self.backend!r}")
-        if self.engine not in ("auto", "hist", "flat"):
+        if self.engine not in ("auto", "hist", "giant", "flat"):
             raise ConfigError(f"unknown engine {self.engine!r}")
         if self.shards < 0:
             raise ConfigError("shards must be >= 0")

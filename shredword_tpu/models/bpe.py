@@ -270,6 +270,14 @@ class BPETrainer:
                 raise TrainingError(
                     "hist engine requested but the corpus/vocab does not "
                     "fit its layout (word > 64 tokens or vocab > 32768)")
+        if cfg.engine == "giant" and len(self._merges) == 0:
+            out = self._train_giant(tokens, word_id, target)
+            if out is None:
+                raise TrainingError(
+                    "giant engine requested but the corpus/vocab is "
+                    "outside its envelope (vocab > 32768, a word > 64 "
+                    "tokens, or unk_id >= 256)")
+            return out
 
         n_prev = len(self._merges)
         if n_prev:
@@ -457,6 +465,36 @@ class BPETrainer:
         self._merges = merges.astype(np.int32)
         self._merge_freqs = freqs.astype(np.int64)
         self._trained = False
+        return len(merges)
+
+    def _train_giant(self, tokens, word_id, target) -> int | None:
+        """Giant HBM-table engine, selected explicitly (ops/bpe_giant.py;
+        the auto path reaches it through hist_train's vocab routing).
+        Returns None if outside the envelope."""
+        import jax
+
+        from ..ops import bpe_giant
+
+        cfg = self.config
+        wc_word = np.minimum(self._arrays.counts,
+                             np.iinfo(np.int32).max).astype(np.int32)
+        interpret = jax.default_backend() != "tpu"
+        with log.Timer("train", nbytes=self._arrays.total_raw_bytes) as t:
+            out = bpe_giant.giant_train(
+                tokens, word_id, wc_word, target_merges=target,
+                unk_id=cfg.unk_id, min_pair_freq=cfg.min_pair_freq,
+                interpret=interpret, lazy_final=True)
+            if out is None:
+                return None
+            merges, freqs, final_fn = out
+        self._merges = merges.astype(np.int32)
+        self._merge_freqs = freqs.astype(np.int64)
+        self._final_tokens = None
+        self._final_word_id = None
+        self._final_fn = final_fn
+        self._trained = True
+        log.info("Training completed: %d merges performed. (%.2f s, "
+                 "giant engine)", len(merges), t.elapsed)
         return len(merges)
 
     def _train_hist(self, tokens, word_id, target) -> int | None:

@@ -187,3 +187,24 @@ def test_save_formats_roundtrip(small_setup, tmp_path):
     m2, pattern, special = serialization.read_model_v1(v1)
     np.testing.assert_array_equal(m2, t.merges)
     assert special == {"<|eot|>": 1000}
+
+
+def test_engine_giant_selector(zipf_corpus_file):
+    """engine='giant' forces the HBM-table engine at any vocab and stays
+    bit-identical to the flat engine."""
+    import numpy as np
+    from shredword_tpu.models.bpe import BPETrainer
+
+    a = BPETrainer(target_vocab_size=330, unk_id=-1,
+                   character_coverage=0.9995, min_pair_freq=5,
+                   backend="tpu", engine="giant")
+    a.load_corpus(zipf_corpus_file)
+    na = a.train()
+    b = BPETrainer(target_vocab_size=330, unk_id=-1,
+                   character_coverage=0.9995, min_pair_freq=5,
+                   backend="tpu", engine="flat")
+    b.load_corpus(zipf_corpus_file)
+    assert b.train() == na > 0
+    np.testing.assert_array_equal(a.merges, b.merges)
+    np.testing.assert_array_equal(a.token_frequencies(),
+                                  b.token_frequencies())
