@@ -262,7 +262,7 @@ def measure_encode() -> dict:
 def measure_giant_vocab() -> dict:
     """32k-vocab train on the bench corpus (giant HBM-table engine) —
     BASELINE config 2's engine at bench scale.  The full-scale number
-    (1 GB: 14.5 MB/s vs reference 0.365, ~40x) is in BASELINE.md."""
+    (1 GB: 16.0 MB/s vs reference 0.365, ~44x) is in BASELINE.md."""
     from shredword_tpu.models.bpe import BPETrainer
     t = BPETrainer(target_vocab_size=32768, unk_id=-1,
                    character_coverage=1.0, min_pair_freq=2,

@@ -167,10 +167,13 @@ def _transpose_row(row, ident):
 
 
 def _mxu_scatter(vals, w, acc_ref, vh: int):
-    """acc[VH, 128] += sum_lane w * onehot2d(vals): exact one-hot MXU
+    """acc[0:vh, 128] += sum_lane w * onehot2d(vals): exact one-hot MXU
     scatter (weights split 15/16 bits; every f32 partial sum < 2^24 for
     C <= 512 lanes).  vals/w are [1, C] int32; invalid lanes must carry
-    w == 0 (their value may be anything, including negatives)."""
+    w == 0 (their value may be anything, including negatives).  `vh` is
+    the LIVE row bound — every weighted value must be < vh * 128, so
+    early dispatches pass a small bound and skip the dead top of the
+    table (the dominant per-chunk cost scales with vh)."""
     c = vals.shape[1]
     hi = vals >> 7
     lo = vals & 127
@@ -190,7 +193,8 @@ def _mxu_scatter(vals, w, acc_ref, vh: int):
     phi = jax.lax.dot_general(a_m, whi, dims,
                               precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32)
-    acc_ref[:, :] += phi.astype(jnp.int32) * 32768 + plo.astype(jnp.int32)
+    acc_ref[0:vh, :] += (phi.astype(jnp.int32) * 32768
+                         + plo.astype(jnp.int32))
 
 
 def _select_apply_dyn(tt, a, b, new, l_c, L):
@@ -259,6 +263,7 @@ def _slot_deltas_mxu(tt, sel, ww, new, unk, l_c, vh, dl_ref, dr_ref):
 # ---------------------------------------------------------------------
 
 def _giant_kernel(v: int, L: int, NC: int, W: int, cw: int,
+                  vh_eff: int,
                   lens_ref, scal_ref,            # scalar prefetch (SMEM)
                   wc_hbm, tw_hbm, h_in, p_in, rmax_in,   # inputs
                   tw_out, h_io, p_io, rmax_ref, mrow_ref,  # outputs
@@ -423,7 +428,7 @@ def _giant_kernel(v: int, L: int, NC: int, W: int, cw: int,
                         subw[:] = ww[:, sl]
                         _slot_deltas_mxu(subt[:], subsel[:],
                                          subw[:], new, unk, l_c,
-                                         vh, dl_ref, dr_ref)
+                                         vh_eff, dl_ref, dr_ref)
                 here = (lane_nc == c)
                 stillA[:] = jnp.where(
                     here, jnp.any(t2 == a).astype(jnp.int32), stillA[:])
@@ -535,7 +540,8 @@ def _giant_kernel(v: int, L: int, NC: int, W: int, cw: int,
 
 
 def make_giant_train(v: int, L: int, NC: int, steps: int,
-                     interpret: bool = False, cw: int = C):
+                     interpret: bool = False, cw: int = C,
+                     vh_eff: int | None = None):
     """One pallas_call = `steps` greedy merges at giant scale.
 
     giant(lens, scal, wc, tw, hist4, presT, rowmax) ->
@@ -549,7 +555,8 @@ def make_giant_train(v: int, L: int, NC: int, steps: int,
     """
     W = NC * cw
     vh = v // 128
-    kernel = partial(_giant_kernel, v, L, NC, W, cw)
+    vh_eff = vh if vh_eff is None else min(vh_eff, vh)
+    kernel = partial(_giant_kernel, v, L, NC, W, cw, vh_eff)
 
     @partial(jax.jit, donate_argnums=(3, 4, 5, 6))
     def giant(lens, scal, wc, tw, hist4, presT, rowmax):
@@ -680,11 +687,21 @@ def giant_train(tokens: np.ndarray, word_id: np.ndarray,
     L, W = lay.tw.shape
     NC = W // cw
     steps = max(1, min(steps_per_call, target_merges))
-    key = (v, L, NC, steps, interpret, cw)
-    if key not in _cache:
-        _cache[key] = make_giant_train(v, L, NC, steps,
-                                       interpret=interpret, cw=cw)
-    giant = _cache[key]
+    vh = v // 128
+
+    def get_giant(n_done: int):
+        # the delta scatter only needs rows that can hold LIVE ids
+        # (every scattered value is an id < 256 + n_done + steps); early
+        # dispatches therefore compile with a small static row bound —
+        # the scatter's one-hot build and dots scale with it
+        vh_eff = min(vh, -(-(256 + n_done + steps) // 128))
+        vh_eff = -(-vh_eff // 8) * 8            # (8, 128) int32 tiling
+        key = (v, L, NC, steps, interpret, cw, vh_eff)
+        if key not in _cache:
+            _cache[key] = make_giant_train(v, L, NC, steps,
+                                           interpret=interpret, cw=cw,
+                                           vh_eff=vh_eff)
+        return _cache[key]
 
     tw = jnp.asarray(lay.tw)
     wc = jnp.asarray(lay.wc)
@@ -697,6 +714,7 @@ def giant_train(tokens: np.ndarray, word_id: np.ndarray,
     freqs_np: list = []
     done = 0
     while len(merges_np) < target_merges and not done:
+        giant = get_giant(len(merges_np))
         allowed = target_merges - len(merges_np)
         scal = jnp.array([unk_id, min_pair_freq, len(merges_np), done,
                           allowed, nc_used], jnp.int32)
