@@ -29,6 +29,11 @@ def _add_train(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--coverage", type=float, default=0.995)
     p.add_argument("--min-pair-freq", type=int, default=2000)
     p.add_argument("--backend", choices=("tpu", "cpu"), default="tpu")
+    p.add_argument("--engine", choices=("auto", "hist", "giant", "flat"),
+                   default="auto",
+                   help="TPU merge-loop engine (auto routes by vocab: "
+                        "fused VMEM kernel <= 4096, giant HBM table "
+                        "<= 32768, flat beyond)")
     p.add_argument("--tie-break", choices=("lex", "faithful"),
                    default="lex")
     p.add_argument("--max-merges", type=int, default=None)
@@ -107,7 +112,8 @@ def main(argv: list[str] | None = None) -> int:
                        unk_id=args.unk_id,
                        character_coverage=args.coverage,
                        min_pair_freq=args.min_pair_freq,
-                       backend=args.backend, tie_break=args.tie_break,
+                       backend=args.backend, engine=args.engine,
+                       tie_break=args.tie_break,
                        checkpoint_path=args.checkpoint_path,
                        checkpoint_every=args.checkpoint_every,
                        shards=args.shards)

@@ -237,9 +237,10 @@ Corpus build_corpus_from_file(const char* path, bool faithful_order,
   long len = ftell(fp);
   fseek(fp, 0, SEEK_SET);
   fclose(fp);
-  // Large files stream with bounded memory instead of one giant buffer.
+  // Large files stream with bounded memory instead of one giant buffer;
+  // unseekable inputs (pipes, /dev/stdin: ftell < 0) must stream too.
   const int64_t kStreamThreshold = 1LL << 31;   // 2 GiB
-  if ((int64_t)len > kStreamThreshold)
+  if (len < 0 || (int64_t)len > kStreamThreshold)
     return build_corpus_streaming(path, faithful_order, nthreads,
                                   1LL << 28, ok);
   fp = fopen(path, "rb");

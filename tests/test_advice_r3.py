@@ -234,3 +234,24 @@ def test_dedup_single_block_cell_cap(monkeypatch):
     out = encode_ops.encode_stream(flat, lens, merges, 257)
     assert calls == [False]      # dedup ran, but bucketed
     assert len(out[0]) > 0
+
+
+def test_loader_handles_unseekable_input(tmp_path):
+    """ftell < 0 (pipes, /dev/stdin) must route to the streaming loader
+    instead of allocating a (size_t)-1 buffer."""
+    import os as _os
+    import subprocess, sys
+    fifo = str(tmp_path / "corpus.fifo")
+    _os.mkfifo(fifo)
+    code = (
+        "from shredword_tpu.runtime.native import NativeCorpus\n"
+        f"a = NativeCorpus.from_file({fifo!r}).arrays()\n"
+        "assert a.n_words == 3 and a.total_occurrences == 5, a.n_words\n"
+        "print('FIFO_OK')\n")
+    env = dict(_os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen([sys.executable, "-c", code], env=env,
+                            stdout=subprocess.PIPE, text=True)
+    with open(fifo, "w") as f:
+        f.write("x y x y z\n")
+    out, _ = proc.communicate(timeout=120)
+    assert proc.returncode == 0 and "FIFO_OK" in out, out
