@@ -152,8 +152,21 @@ def measure_tpu() -> tuple[float, int]:
         t.destroy()
         return dt, n
 
-    run()                # warm-up: populates the compile cache
-    return run()         # measured: steady-state throughput
+    # The tunnel occasionally stalls for many minutes (observed: a
+    # ~25 min wedge that self-healed); guard each attempt and retry so
+    # a transient outage doesn't sink the whole bench.
+    last = None
+    for attempt in range(3):
+        try:
+            with _alarm(600):
+                run()        # warm-up: populates the compile cache
+                return run()  # measured: steady-state throughput
+        except _SideMetricTimeout as e:
+            last = e
+            sys.stderr.write(f"[bench] tpu measure attempt {attempt} "
+                             f"stalled; retrying after cooldown\n")
+            time.sleep(90)
+    raise RuntimeError(f"tpu measurement failed after retries: {last}")
 
 
 def check_device_engines() -> None:
@@ -262,7 +275,7 @@ def measure_encode() -> dict:
 def measure_giant_vocab() -> dict:
     """32k-vocab train on the bench corpus (giant HBM-table engine) —
     BASELINE config 2's engine at bench scale.  The full-scale number
-    (1 GB: 16.0 MB/s vs reference 0.365, ~44x) is in BASELINE.md."""
+    (1 GB: 17.6 MB/s vs reference 0.365, ~48x) is in BASELINE.md."""
     from shredword_tpu.models.bpe import BPETrainer
     t = BPETrainer(target_vocab_size=32768, unk_id=-1,
                    character_coverage=1.0, min_pair_freq=2,
@@ -274,6 +287,29 @@ def measure_giant_vocab() -> dict:
     mb = os.path.getsize(CORPUS) / 1e6
     return {"merges": n, "seconds": dt, "mbs": mb / dt,
             "ms_per_merge": dt / max(n, 1) * 1000}
+
+
+def measure_unigram() -> dict:
+    """Unigram subsystem side metric: train a small unigram LM on 1 MB
+    of the bench corpus and measure device-Viterbi encode MB/s."""
+    from shredword_tpu import UnigramTokenizer, UnigramTrainer
+    small = "/tmp/shred_bench/uni_corpus.txt"
+    if not os.path.exists(small):
+        with open(CORPUS) as f, open(small, "w") as g:
+            g.write(f.read(10**6))
+    t = UnigramTrainer(target_vocab_size=1024, seed_size=10_000)
+    t.load_corpus(small)
+    t0 = time.perf_counter()
+    n = t.train()
+    train_s = time.perf_counter() - t0
+    t.save("/tmp/shred_bench/uni.model")
+    tok = UnigramTokenizer.load("/tmp/shred_bench/uni.model")
+    text = open(small).read()[:10**6]
+    nb = len(text.encode())
+    ids = tok.encode(text)                   # warm
+    enc_mbs = _best_mbs(lambda: tok.encode(text), nbytes=nb, trials=2)
+    return {"vocab": n, "train_s": train_s, "enc_mbs": enc_mbs,
+            "n_ids": len(ids)}
 
 
 def measure_presplit() -> dict:
@@ -337,6 +373,15 @@ def main() -> None:
             f"to compare\n")
     except Exception as e:  # encode side-metric must never sink the bench
         sys.stderr.write(f"[bench] encode side-metric failed: {e}\n")
+    try:
+        with _alarm(300):
+            u = measure_unigram()
+        sys.stderr.write(
+            f"[bench] unigram: {u['vocab']}-piece LM trained in "
+            f"{u['train_s']:.1f}s; viterbi encode {u['enc_mbs']:.1f} "
+            f"MB/s ({u['n_ids']} ids)\n")
+    except Exception as e:
+        sys.stderr.write(f"[bench] unigram side-metric failed: {e}\n")
     try:
         with _alarm(360):
             g = measure_giant_vocab()

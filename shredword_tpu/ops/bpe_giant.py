@@ -693,9 +693,16 @@ def giant_train(tokens: np.ndarray, word_id: np.ndarray,
         # the delta scatter only needs rows that can hold LIVE ids
         # (every scattered value is an id < 256 + n_done + steps); early
         # dispatches therefore compile with a small static row bound —
-        # the scatter's one-hot build and dots scale with it
-        vh_eff = min(vh, -(-(256 + n_done + steps) // 128))
-        vh_eff = -(-vh_eff // 8) * 8            # (8, 128) int32 tiling
+        # the scatter's one-hot build and dots scale with it.  The bound
+        # quantizes to powers of two so a long run switches executables
+        # only a few times (every switch re-lays-out the donated
+        # multi-GB table buffers, which costs more than a snug bound
+        # saves on the later, presence-sparse dispatches).
+        need = min(vh, -(-(256 + n_done + steps) // 128))
+        vh_eff = 8
+        while vh_eff < need:
+            vh_eff *= 2
+        vh_eff = min(vh_eff, vh)
         key = (v, L, NC, steps, interpret, cw, vh_eff)
         if key not in _cache:
             _cache[key] = make_giant_train(v, L, NC, steps,
