@@ -145,28 +145,29 @@ def measure_tpu() -> tuple[float, int]:
         t = BPETrainer(target_vocab_size=VOCAB, unk_id=-1,
                        character_coverage=COVERAGE, min_pair_freq=MIN_FREQ,
                        backend="tpu")
-        t.load_corpus(CORPUS)
-        t0 = time.perf_counter()
-        n = t.train()
-        dt = time.perf_counter() - t0
-        t.destroy()
+        try:
+            t.load_corpus(CORPUS)
+            t0 = time.perf_counter()
+            n = t.train()
+            dt = time.perf_counter() - t0
+        finally:
+            t.destroy()
         return dt, n
 
     # The tunnel occasionally stalls for many minutes (observed: a
     # ~25 min wedge that self-healed); guard each attempt and retry so
     # a transient outage doesn't sink the whole bench.
-    last = None
     for attempt in range(3):
         try:
             with _alarm(600):
                 run()        # warm-up: populates the compile cache
                 return run()  # measured: steady-state throughput
-        except _SideMetricTimeout as e:
-            last = e
+        except _SideMetricTimeout:
+            if attempt == 2:
+                raise RuntimeError("tpu measurement stalled 3x")
             sys.stderr.write(f"[bench] tpu measure attempt {attempt} "
                              f"stalled; retrying after cooldown\n")
             time.sleep(90)
-    raise RuntimeError(f"tpu measurement failed after retries: {last}")
 
 
 def check_device_engines() -> None:
@@ -343,7 +344,13 @@ def main() -> None:
     else:
         ref_dt, ref_n = measure_faithful_engine()
     tpu_dt, tpu_n = measure_tpu()
-    check_device_engines()
+    try:
+        with _alarm(600):
+            check_device_engines()
+    except _SideMetricTimeout:
+        sys.stderr.write("[bench] device engine cross-check stalled "
+                         "(tunnel wedge); result NOT cross-checked "
+                         "this run\n")
 
     mb = raw_bytes / 1e6
     ours = mb / tpu_dt

@@ -270,7 +270,11 @@ class BPETrainer:
                 raise TrainingError(
                     "hist engine requested but the corpus/vocab does not "
                     "fit its layout (word > 64 tokens or vocab > 32768)")
-        if cfg.engine == "giant" and len(self._merges) == 0:
+        if cfg.engine == "giant":
+            if len(self._merges):
+                raise TrainingError(
+                    "engine='giant' does not support checkpoint resume; "
+                    "resume with engine='auto'/'flat' or retrain")
             out = self._train_giant(tokens, word_id, target)
             if out is None:
                 raise TrainingError(
@@ -479,10 +483,22 @@ class BPETrainer:
         wc_word = np.minimum(self._arrays.counts,
                              np.iinfo(np.int32).max).astype(np.int32)
         interpret = jax.default_backend() != "tpu"
+        cb = None
+        steps = 4096
+        if cfg.checkpoint_path and cfg.checkpoint_every:
+            from .. import checkpoint as ckpt
+            steps = cfg.checkpoint_every
+
+            def cb(merges, freqs):
+                ckpt.save_checkpoint(
+                    cfg.checkpoint_path, merges=merges.astype(np.int32),
+                    merge_freqs=freqs.astype(np.int64), config=cfg)
+
         with log.Timer("train", nbytes=self._arrays.total_raw_bytes) as t:
             out = bpe_giant.giant_train(
                 tokens, word_id, wc_word, target_merges=target,
                 unk_id=cfg.unk_id, min_pair_freq=cfg.min_pair_freq,
+                steps_per_call=steps, progress_cb=cb,
                 interpret=interpret, lazy_final=True)
             if out is None:
                 return None

@@ -177,18 +177,34 @@ Corpus build_corpus(const uint8_t* data, int64_t len, bool faithful_order,
                          faithful_order);
 }
 
+namespace {
+Corpus stream_from(FILE* fp, bool faithful_order, int nthreads,
+                   int64_t block_bytes, bool* ok);
+}  // namespace
+
 Corpus build_corpus_streaming(const char* path, bool faithful_order,
                               int nthreads, int64_t block_bytes, bool* ok) {
-  // Bounded-memory ingestion: the file is read in blocks; only the
-  // unique-word map persists.  A token straddling a block boundary is
-  // carried to the front of the next block, so the word stream (and the
-  // faithful first-touch order, via global base offsets) is identical
-  // to the whole-buffer loader's.
+  *ok = false;
+  Corpus corpus;
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return corpus;
+  return stream_from(fp, faithful_order, nthreads, block_bytes, ok);
+}
+
+namespace {
+// Bounded-memory ingestion from an ALREADY-OPEN stream (takes
+// ownership): the file is read in blocks; only the unique-word map
+// persists.  A token straddling a block boundary is carried to the
+// front of the next block, so the word stream (and the faithful
+// first-touch order, via global base offsets) is identical to the
+// whole-buffer loader's.  Accepting the open handle matters for
+// FIFOs/pipes: a close-reopen gap would leave the writer reader-less
+// (SIGPIPE).
+Corpus stream_from(FILE* fp, bool faithful_order, int nthreads,
+                   int64_t block_bytes, bool* ok) {
   *ok = false;
   Corpus corpus;
   if (block_bytes < (1 << 12)) block_bytes = (1 << 12);
-  FILE* fp = fopen(path, "rb");
-  if (!fp) return corpus;
   std::vector<uint8_t> buf;
   buf.reserve((size_t)block_bytes + 4096);
   WordMap merged;
@@ -226,6 +242,7 @@ Corpus build_corpus_streaming(const char* path, bool faithful_order,
   return finalize_corpus(std::move(merged), total_bytes, occ,
                          faithful_order);
 }
+}  // namespace
 
 Corpus build_corpus_from_file(const char* path, bool faithful_order,
                               int nthreads, bool* ok) {
@@ -236,15 +253,13 @@ Corpus build_corpus_from_file(const char* path, bool faithful_order,
   fseek(fp, 0, SEEK_END);
   long len = ftell(fp);
   fseek(fp, 0, SEEK_SET);
-  fclose(fp);
   // Large files stream with bounded memory instead of one giant buffer;
-  // unseekable inputs (pipes, /dev/stdin: ftell < 0) must stream too.
+  // unseekable inputs (pipes, /dev/stdin: ftell < 0) must stream too —
+  // from THIS handle (no close-reopen: a FIFO writer would get SIGPIPE
+  // in the gap).
   const int64_t kStreamThreshold = 1LL << 31;   // 2 GiB
   if (len < 0 || (int64_t)len > kStreamThreshold)
-    return build_corpus_streaming(path, faithful_order, nthreads,
-                                  1LL << 28, ok);
-  fp = fopen(path, "rb");
-  if (!fp) return corpus;
+    return stream_from(fp, faithful_order, nthreads, 1LL << 28, ok);
   std::vector<uint8_t> buf((size_t)len);
   if (len > 0 && fread(buf.data(), 1, (size_t)len, fp) != (size_t)len) {
     fclose(fp);
