@@ -78,3 +78,33 @@ def test_checkpoint_rejects_garbage(tmp_path):
     p.write_bytes(b"\x10\x00\x00\x00\x00\x00\x00\x00not json hereXXXX")
     with pytest.raises(SerializationError):
         ckpt.load_checkpoint(str(p))
+
+
+def test_giant_engine_checkpoint_cadence(zipf_corpus_file, tmp_path):
+    """engine='giant' honors checkpoint_path/checkpoint_every (it
+    previously skipped checkpoints silently) and refuses resume with a
+    clear error instead of silently downgrading engines."""
+    import numpy as np
+    import pytest
+    from shredword_tpu import checkpoint as ckpt
+    from shredword_tpu.errors import TrainingError
+    from shredword_tpu.models.bpe import BPETrainer
+
+    path = str(tmp_path / "g.ckpt")
+    t = BPETrainer(target_vocab_size=330, unk_id=-1,
+                   character_coverage=0.9995, min_pair_freq=5,
+                   backend="tpu", engine="giant",
+                   checkpoint_path=path, checkpoint_every=8)
+    t.load_corpus(zipf_corpus_file)
+    n = t.train()
+    _, m, f = ckpt.load_checkpoint(path)
+    assert len(m) == n
+    np.testing.assert_array_equal(m, t.merges)
+
+    t2 = BPETrainer(target_vocab_size=330, unk_id=-1,
+                    character_coverage=0.9995, min_pair_freq=5,
+                    backend="tpu", engine="giant")
+    t2.load_corpus(zipf_corpus_file)
+    t2.load_checkpoint(path)
+    with pytest.raises(TrainingError):
+        t2.train()
