@@ -916,13 +916,17 @@ def fused_hist_train(c: HistCorpus, v: int, *, target_merges: int,
     # stays on device: [NC, L, C] -> [L, W]; materialized only if the
     # caller extracts the final corpus (the tunnel D2H is the slow part)
     tw = jnp.transpose(tw3, (1, 0, 2)).reshape(L, W2)[:, :W]
+    # merges/freqs/n are HOST values here (decoded from the per-step
+    # record readback) — return them as numpy so the caller's
+    # int(n_merges) / np.asarray(merges) are free instead of three
+    # device round-trips (~25 ms each through a tunneled TPU).
     return HistTrainState(
         corpus=HistCorpus(tw, c.wcount),
         hist=hist,
-        merges=jnp.asarray(np.asarray(merges_np, np.int32).reshape(n, 2)),
-        merge_freqs=jnp.asarray(np.asarray(freqs_np, np.int32)),
-        n_merges=jnp.int32(n),
-        done=jnp.bool_(bool(done)),
+        merges=np.asarray(merges_np, np.int32).reshape(n, 2),
+        merge_freqs=np.asarray(freqs_np, np.int32),
+        n_merges=np.int32(n),
+        done=np.bool_(bool(done)),
     )
 
 
