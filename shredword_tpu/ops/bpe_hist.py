@@ -126,23 +126,53 @@ def _shift_down(x, fill):
     return jnp.where(row == 0, fill, r)
 
 
+def _shift_down_k(x, k, fill):
+    r = pltpu.roll(x, shift=k, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row < k, fill, r)
+
+
 def _select_and_apply(tt, a, b, new, L):
-    """Greedy left-to-right match selection + merge + hole-march
-    compaction on one [L, C] block.  Returns (t2, sel)."""
+    """Greedy left-to-right match selection + merge + compaction on one
+    [L, C] block.  Returns (t2, sel).
+
+    Selection closed form: within each maximal run of consecutive
+    matches, greedy left-to-right picks every other one starting at the
+    run head — sel = m & odd(row - last_non_match_row), with the last
+    non-match row as a log-step cumulative max (4 passes at L=16
+    instead of the L-pass sequential recurrence).
+
+    Compaction: each pass removes the FIRST hole of every column (a
+    cumulative-OR from the hole down, then a suffix shift-up), so the
+    loop runs max-matches-per-column times (usually 1) instead of
+    L - 1."""
     C = tt.shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (L, C), 0)
     nxt = _shift_up(tt, PAD)
-    m = ((tt == a) & (nxt == b)).astype(jnp.int32)
-    sel = jnp.zeros((L, C), jnp.int32)
-    for l in range(L):                               # greedy overlap rule
-        prev = _shift_down(sel, 0)
-        sel = jnp.where(row == l, m * (1 - prev), sel)
+    m = (tt == a) & (nxt == b)
+    x = jnp.where(m, -1, row)             # last non-match row, cumulative
+    s = 1
+    while s < L:
+        x = jnp.maximum(x, _shift_down_k(x, s, -1))
+        s *= 2
+    sel = (m & (((row - x) & 1) == 1)).astype(jnp.int32)
     t2 = tt + sel * (new - tt)
     hole = _shift_down(sel, 0)
-    for _ in range(L - 1):                           # hole march
-        t_dn = _shift_up(t2, PAD)
-        t2 = t2 + hole * (t_dn - t2)
-        hole = _shift_down(hole, 0)
+    nhole = jnp.max(jnp.sum(sel, axis=0))
+
+    def collapse_first_hole(_, carry):
+        t2, hole = carry
+        hc = hole
+        s = 1
+        while s < L:                      # cumulative OR, hole and below
+            hc = hc | _shift_down_k(hc, s, 0)
+            s *= 2
+        on = hc != 0
+        t2 = jnp.where(on, _shift_up(t2, PAD), t2)
+        hole = jnp.where(on, _shift_up(hole, 0), hole)
+        return t2, hole
+
+    t2, _ = jax.lax.fori_loop(0, nhole, collapse_first_hole, (t2, hole))
     return t2, sel
 
 
@@ -160,8 +190,14 @@ def _slot_delta_accum(tt, sel, ww, a, b, new, unk, v, dl_ref, dr_ref):
     mass (an earlier MXU one-hot-matmul variant was both ~5x slower at
     tiny N and inexact on hardware: Mosaic's default dot truncates f32
     inputs to bf16).  Both sides accumulate as [v, 1] columns; the
-    right side is transposed once per merge by the table update."""
+    right side is transposed once per merge by the table update.
+
+    The v dimension runs in 128-row blocks skipped above the live-id
+    bound: every neighbor value is <= `new` (ids above the merge being
+    created cannot occur yet), so blocks with base > new contribute
+    nothing — exact, and ~v/live cheaper early in training."""
     L, C = tt.shape
+    nb, RB = (v // 128, 128) if v % 128 == 0 and v > 128 else (1, v)
     sel2 = _shift_down(_shift_down(sel, 0), 0)
     t_up = _shift_down(tt, PAD)                      # t[r-1]
     lval = t_up + sel2 * (new - t_up)                # override: earlier
@@ -176,7 +212,6 @@ def _slot_delta_accum(tt, sel, ww, a, b, new, unk, v, dl_ref, dr_ref):
         rowi = jax.lax.broadcasted_iota(jnp.int32, (L, C), 0)
         cs = cs + jnp.where(rowi >= sh, r, 0)
         sh *= 2
-    iota_vc = jax.lax.broadcasted_iota(jnp.int32, (v, C), 0)
     for k in range(L // 2):
         slot = (sel != 0) & (cs == k + 1)
 
@@ -190,14 +225,21 @@ def _slot_delta_accum(tt, sel, ww, a, b, new, unk, v, dl_ref, dr_ref):
                          keepdims=True)
             rw = jnp.sum(jnp.where(slot, wr, 0), axis=0,
                          keepdims=True)
-            lwb = jnp.broadcast_to(lw, (v, C))
-            rwb = jnp.broadcast_to(rw, (v, C))
-            dl_ref[:, :] += jnp.sum(
-                jnp.where(iota_vc == lv, lwb, 0), axis=1,
-                keepdims=True)                                    # [v, 1]
-            dr_ref[:, :] += jnp.sum(
-                jnp.where(iota_vc == rv, rwb, 0), axis=1,
-                keepdims=True)
+            lwb = jnp.broadcast_to(lw, (RB, C))
+            rwb = jnp.broadcast_to(rw, (RB, C))
+            for kb in range(nb):
+                base = kb * RB
+
+                @pl.when(base <= new)
+                def _(base=base):
+                    iota_bc = (jax.lax.broadcasted_iota(
+                        jnp.int32, (RB, C), 0) + base)
+                    dl_ref[base:base + RB, :] += jnp.sum(
+                        jnp.where(iota_bc == lv, lwb, 0), axis=1,
+                        keepdims=True)                            # [RB, 1]
+                    dr_ref[base:base + RB, :] += jnp.sum(
+                        jnp.where(iota_bc == rv, rwb, 0), axis=1,
+                        keepdims=True)
 
 
 def apply_hist_updates(hist, a, b, new, dl, dr):
@@ -495,19 +537,32 @@ def _fused_kernel(v: int, L: int, NC: int, fc: int, scal_ref, w_ref,
         # pass — the only O(v*v) work per merge.  dr accumulated as a
         # column; one identity matmul transposes it to row layout
         # (Mosaic cannot reshape/transpose across sublanes and lanes).
+        # Row blocks above the live-id bound are skipped: their dl is
+        # zero and they cannot be row b or `new`, so they are unchanged
+        # (and their rowmax entries stay valid).
         rows2 = jax.lax.broadcasted_iota(jnp.int32, (v, v), 0)
         cols2 = jax.lax.broadcasted_iota(jnp.int32, (v, v), 1)
-        dli = dl_ref[:]                                            # [v, 1]
         ident = (rows2 == cols2).astype(jnp.float32)
         dri = _col_to_row_i32(dr_ref[:], ident)                    # [1, v]
-        h2 = (hist_ref[:]
-              + (jnp.where(cols2 == a, -1, 0)
-                 + jnp.where(cols2 == new, 1, 0)) * dli
-              + (jnp.where(rows2 == b, -1, 0)
-                 + jnp.where(rows2 == new, 1, 0)) * dri)
-        h2 = jnp.where((rows2 == a) & (cols2 == b), 0, h2)
-        hist_ref[:] = h2
-        rowmax_s[:] = jnp.max(h2, axis=1, keepdims=True)
+        nb2, RB2 = (v // 128, 128) if v % 128 == 0 and v > 128 else (1, v)
+        for kb in range(nb2):
+            base = kb * RB2
+
+            @pl.when(base <= new)
+            def _(base=base):
+                rowsb = (jax.lax.broadcasted_iota(
+                    jnp.int32, (RB2, v), 0) + base)
+                colsb = jax.lax.broadcasted_iota(jnp.int32, (RB2, v), 1)
+                dlb = dl_ref[base:base + RB2, :]                   # [RB, 1]
+                h2 = (hist_ref[base:base + RB2, :]
+                      + (jnp.where(colsb == a, -1, 0)
+                         + jnp.where(colsb == new, 1, 0)) * dlb
+                      + (jnp.where(rowsb == b, -1, 0)
+                         + jnp.where(rowsb == new, 1, 0)) * dri)
+                h2 = jnp.where((rowsb == a) & (colsb == b), 0, h2)
+                hist_ref[base:base + RB2, :] = h2
+                rowmax_s[base:base + RB2, :] = jnp.max(
+                    h2, axis=1, keepdims=True)
 
 
 def _col_to_row_i32(col, ident):
