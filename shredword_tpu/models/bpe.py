@@ -23,6 +23,8 @@ whose outputs byte-match the compiled reference binary.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..config import BPEConfig
@@ -31,6 +33,15 @@ from ..runtime import native
 from ..utils import logging as log
 
 _BASE_VOCAB = 256
+
+
+def _interpret_ok() -> bool:
+    """Whether interpret-mode Pallas engines may be auto-selected on a
+    non-TPU host.  Off by default: interpret mode is a correctness
+    harness (minutes for megabytes), never a sane default — the flat
+    XLA engine handles the no-TPU case at real speed.  Tests and the
+    multi-chip dry run opt in explicitly."""
+    return os.environ.get("SHRED_INTERPRET_OK") == "1"
 
 
 def _bucket(n: int) -> int:
@@ -262,11 +273,24 @@ class BPETrainer:
         if self.mesh is not None or cfg.shards > 1:
             return self._train_sharded(tokens, word_id, wcount, target)
 
-        if cfg.engine in ("auto", "hist") and len(self._merges) == 0:
-            out = self._train_hist(tokens, word_id, target)
-            if out is not None:
-                return out
-            if cfg.engine == "hist":
+        import jax
+        # Auto engine selection never picks an interpret-mode Pallas
+        # kernel: with no TPU the fused engines emulate the kernel
+        # instruction-by-instruction (minutes for megabytes) while the
+        # flat XLA engine compiles natively for the host.  Explicit
+        # engine="hist"/"giant" still honors the request (that is how
+        # the differential tests drive interpret mode).
+        auto_tables = jax.default_backend() == "tpu" or _interpret_ok()
+        if not auto_tables and cfg.engine == "auto":
+            log.debug("no TPU backend: auto engine routes to the flat "
+                      "XLA engine (set engine='hist'/'giant' to force "
+                      "interpret-mode Pallas)")
+        if cfg.engine == "hist" or (cfg.engine == "auto" and auto_tables):
+            if len(self._merges) == 0:
+                out = self._train_hist(tokens, word_id, target)
+                if out is not None:
+                    return out
+            if cfg.engine == "hist" and len(self._merges) == 0:
                 raise TrainingError(
                     "hist engine requested but the corpus/vocab does not "
                     "fit its layout (word > 64 tokens or vocab > 32768)")
@@ -381,14 +405,23 @@ class BPETrainer:
         interpret = jax.default_backend() != "tpu"
         counts = np.minimum(self._arrays.counts,
                             np.iinfo(np.int32).max).astype(np.int32)
+        # Same auto-selection rule as single-device: interpret-mode
+        # Pallas is never picked implicitly on a non-TPU host.  Only the
+        # sharded hist engine is Pallas-backed; the row-sharded giant
+        # engine and the flat engine are pure XLA and carry the no-TPU
+        # case at native speed.
+        use_hist = not interpret or _interpret_ok()
         with log.Timer("train", nbytes=self._arrays.total_raw_bytes) as t:
+            out = None
             engine = "hist"
-            out = sharded_hist_train(
-                tokens, word_id, counts, mesh=mesh, target_merges=target,
-                unk_id=cfg.unk_id, min_pair_freq=cfg.min_pair_freq,
-                interpret=interpret)
-            if out is None:    # beyond the replicated-table cap (2048):
-                # row-sharded giant table, vocab to 65536
+            if use_hist:
+                out = sharded_hist_train(
+                    tokens, word_id, counts, mesh=mesh,
+                    target_merges=target, unk_id=cfg.unk_id,
+                    min_pair_freq=cfg.min_pair_freq, interpret=interpret)
+            if out is None:
+                # beyond the replicated-table cap: row-sharded giant
+                # table (pure XLA), vocab to 65536
                 engine = "giant"
                 out = sharded_giant_train(
                     tokens, word_id, counts, mesh=mesh,
