@@ -88,14 +88,48 @@ class Tokenizer:
     def __init__(self, merges: np.ndarray | None = None, pattern: str = "",
                  special_tokens: dict[str, int] | None = None,
                  backend: str = "cpu"):
-        self.merges = (np.zeros((0, 2), np.int32) if merges is None
-                       else np.asarray(merges, np.int32).reshape(-1, 2))
-        self.pattern = pattern
-        self.special_tokens: dict[str, int] = dict(special_tokens or {})
+        self._merges = (np.zeros((0, 2), np.int32) if merges is None
+                        else np.asarray(merges, np.int32).reshape(-1, 2))
+        self._pattern = pattern
+        self._special_tokens: dict[str, int] = dict(special_tokens or {})
         self.backend = backend
         self._native = None
         self._table = None
         self._flat_vocab = None
+        self._rebuild()
+
+    # ------------------------------------------------------------------
+    # mutable model state (reference README.md:66-71,90-99: "View or set
+    # the merge rules / pattern / special_tokens") — assigning any of
+    # these rebuilds the vocab and invalidates the encode/decode caches,
+    # so set-then-encode never uses a stale model.
+    # ------------------------------------------------------------------
+
+    @property
+    def merges(self) -> np.ndarray:
+        return self._merges
+
+    @merges.setter
+    def merges(self, value) -> None:
+        self._merges = (np.zeros((0, 2), np.int32) if value is None
+                        else np.asarray(value, np.int32).reshape(-1, 2))
+        self._rebuild()
+
+    @property
+    def pattern(self) -> str:
+        return self._pattern
+
+    @pattern.setter
+    def pattern(self, value: str) -> None:
+        self._pattern = value or ""
+
+    @property
+    def special_tokens(self) -> dict[str, int]:
+        return self._special_tokens
+
+    @special_tokens.setter
+    def special_tokens(self, value) -> None:
+        self._special_tokens = dict(value or {})
         self._rebuild()
 
     # ------------------------------------------------------------------
@@ -478,8 +512,31 @@ class Tokenizer:
                 else:
                     f.write(f"[{s}] {idx}\n")
 
-    @classmethod
-    def load(cls, model_path: str, backend: str = "cpu") -> "Tokenizer":
-        merges, pattern, special = serialization.read_model_any(model_path)
-        return cls(merges=merges, pattern=pattern, special_tokens=special,
-                   backend=backend)
+    class _HybridLoad:
+        """``Tokenizer.load(path)`` constructs a new tokenizer (this
+        package's classmethod shape); ``tok.load(path)`` mutates ``tok``
+        in place — the reference's instance-method shape
+        (base.py:135-149), where loading replaces merges/pattern/
+        special_tokens on an existing object."""
+
+        def __get__(self, obj, objtype=None):
+            if obj is None:
+                def load(model_path: str,
+                         backend: str = "cpu") -> "Tokenizer":
+                    merges, pattern, special = \
+                        serialization.read_model_any(model_path)
+                    return objtype(merges=merges, pattern=pattern,
+                                   special_tokens=special, backend=backend)
+                return load
+
+            def load(model_path: str) -> "Tokenizer":
+                merges, pattern, special = \
+                    serialization.read_model_any(model_path)
+                obj._merges = np.asarray(merges, np.int32).reshape(-1, 2)
+                obj._pattern = pattern
+                obj._special_tokens = dict(special)
+                obj._rebuild()
+                return obj
+            return load
+
+    load = _HybridLoad()
