@@ -35,6 +35,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.jaxcache import ensure_jax_cache
+
+ensure_jax_cache()
+
 RANK_INF = jnp.iinfo(jnp.int32).max
 
 
@@ -215,87 +219,136 @@ def _shift_down_n(x, s):
     return jnp.concatenate([jnp.full_like(x[:s], -1), x[:-s]], axis=0)
 
 
+def _take_row(x: jax.Array, idx: jax.Array, row: jax.Array) -> jax.Array:
+    """x[idx[w], w] per column w; 0 where idx is out of range.  A masked
+    lane reduce, NOT take_along_axis — XLA lowers the latter to a real
+    gather (~6 ms per call at [16, 64k] on v5e), while this is one
+    elementwise pass + a row reduce (~30 us)."""
+    return jnp.sum(jnp.where(row == idx[None, :], x, 0), axis=0)
+
+
 def _encode_core(flat: jax.Array, off: jax.Array, lens: jax.Array,
-                 gb: jax.Array, rank_of, L: int, out_dtype):
+                 gb: jax.Array, rank_of, L: int, out_dtype,
+                 out_cap: int):
     """Device half of encode_stream: gather the [L, W] by-chunk layout
     straight from the flat byte stream (column w = bytes
     flat[off[w] : off[w]+lens[w]], -1 padded), run the merge loop,
     compact column-major, and count ids per group.
-    ``rank_of(t, nxt, valid)`` supplies the pair->rank lookup (dense
-    table or hash probe).
+    ``rank_of(a, b, valid)`` supplies the pair->rank lookup (dense
+    table or hash probe), elementwise over any shape.
 
-    Each round merges, in every column independently, ALL occurrences of
-    that column's lowest-rank pair (greedy left-to-right within runs) —
-    exactly the base.py:22-36 contract — then compacts the column.
-    Terminates when no column has a known pair.
+    Merge-loop formulation: LOCKED-PAIR rounds with an incrementally
+    maintained rank table.  The contract (base.py:22-36 applied
+    lowest-rank-first) is: pick the lowest-rank pair present, replace
+    ALL its occurrences left-to-right (overlapping runs consumed
+    greedily), repeat.  Each column tracks a locked pair (la, lb): per
+    round it merges the TOPMOST remaining occurrence of its locked pair
+    (exhausting occurrences over successive rounds == the single
+    left-to-right replacement pass, because a merge never creates a new
+    occurrence of the merged pair — the new id exceeds both components'
+    ids... and even a degenerate hand-built table terminates, since
+    every round strictly shrinks the column).  When a column's locked
+    pair is exhausted it relocks from its maintained rank rows in the
+    SAME round (no wasted rounds).
+
+    Why this shape: the naive formulation re-gathers pair ranks for all
+    L*W cells every round — the measured dominant cost (~6 ms per
+    1M-cell gather on v5e).  Merging one site per column makes every
+    update a SINGLE row shift, so ranks shift along with tokens and
+    only the two pair slots touching the merge site need fresh lookups:
+    per-round gather volume drops from L*W to ~4*W, and the
+    data-dependent hole-march while_loop disappears entirely.
 
     Host traffic: the raw uint8 stream + two int32[W] vectors up (the
     layout expansion happens ON DEVICE); the live id prefix — downcast
     to ``out_dtype`` (uint16 when the vocab allows) — and tiny count
     vectors down.  Nothing O(L*W) crosses the link.
     """
-    W = off.shape[0]
+    W = lens.shape[0]
+    lens = lens.astype(jnp.int32)
+    if off is None:
+        # chunks are contiguous in `flat`: offsets are the exclusive
+        # cumsum of lens, computed on device (saves the int32[W] upload)
+        off = jnp.cumsum(lens) - lens
     row = jax.lax.broadcasted_iota(jnp.int32, (L, W), 0)
     gidx = jnp.minimum(off[None, :] + row, flat.shape[0] - 1)
     tw = jnp.where(row < lens[None, :], flat[gidx].astype(jnp.int32), -1)
 
+    nxt0 = _shift_up_rows(tw, -1)
+    rank0 = rank_of(tw, nxt0, (tw >= 0) & (nxt0 >= 0))
+
+    L_sent = jnp.int32(L)          # per-column "no site" sentinel
+
     def cond_fn(carry):
-        return carry[1]
+        return carry[-1]
 
     def body_fn(carry):
-        t, _ = carry
+        t, rank, la, lb, lrk, _ = carry
+        locked = la >= 0
         nxt = _shift_up_rows(t, -1)
-        valid = (t >= 0) & (nxt >= 0)
-        rank = rank_of(t, nxt, valid)
-        # Per round: all occurrences of each column's single lowest-rank
-        # pair.  (A "merge all local rank minima" round was tried and is
-        # UNSOUND: merging a distant lowest-rank pair can create a NEW
-        # pair of intermediate rank overlapping a local minimum — e.g.
-        # "fhus" with ranks us=11 < h+US=?? < fh=394 — preempting it
-        # under the sequential lowest-rank-first contract.)
-        rmin = jnp.min(rank, axis=0, keepdims=True)      # [1, W]
-        m = (rank == rmin) & (rank < RANK_INF)
-        # greedy overlap rule as a log-step parity scan down rows (the
-        # bpe_ops.select_matches trick per column): in a run of
-        # consecutive matches take every other one from the run head
-        nm = jnp.where(m, -1, row)
-        last = nm
-        s = 1
-        while s < L:                       # prefix max down rows
-            last = jnp.maximum(last, _shift_down_n(last, s))
-            s *= 2
-        sel = (m & ((row - last - 1) % 2 == 0)).astype(jnp.int32)
-        t2 = jnp.where(sel == 1, 256 + rank, t)
-        hole = _shift_down_rows(sel, 0)
+        # topmost remaining occurrence of each column's locked pair —
+        # pure compares, no table lookup
+        m = locked[None, :] & (t == la[None, :]) & (nxt == lb[None, :])
+        occ = jnp.min(jnp.where(m, row, L_sent), axis=0)        # [W]
+        exhausted = locked & (occ >= L_sent)
+        # relock from the maintained ranks (rank rows are current for
+        # every column: they were updated by that column's last merge)
+        rmin = jnp.min(rank, axis=0)                            # [W]
+        can = rmin < RANK_INF
+        rloc = jnp.min(jnp.where(rank == rmin[None, :], row, L_sent),
+                       axis=0)
+        relock = (~locked) | exhausted
+        set_lock = relock & can
+        la = jnp.where(set_lock, _take_row(t, rloc, row),
+                       jnp.where(relock, -1, la))
+        lb = jnp.where(set_lock, _take_row(t, rloc + 1, row),
+                       jnp.where(relock, -1, lb))
+        lrk = jnp.where(set_lock, rmin, lrk)
+        site = jnp.where(relock, jnp.where(can, rloc, L_sent), occ)
+        active = site < L_sent
+        new_id = 256 + lrk                                      # [W]
 
-        # hole-march compaction with a data-dependent trip count: a hole
-        # dies once it swaps in the -1 tail (marching further is a
-        # no-op), so iterations ~ distance from the merge site to the
-        # end of its column's live data, not L-1
-        def march_cond(c):
-            return jnp.any(c[1] == 1)
+        # merge at `site` + single-shift compaction (one fused pass):
+        # t'[j<s] = t[j]; t'[s] = new; t'[j>s] = t[j+1]
+        tu = _shift_up_rows(t, -1)
+        t2 = jnp.where(row < site[None, :], t,
+                       jnp.where(row == site[None, :], new_id[None, :],
+                                 tu))
+        # rank shifts identically; only the two slots touching the site
+        # change: (t[s-1], new) at row s-1 and (new, t[s+2]) at row s
+        ru = _shift_up_rows(rank, RANK_INF)
+        rank2 = jnp.where(row < site[None, :] - 1, rank, ru)
+        a_l = _take_row(t, site - 1, row)
+        rank_l = rank_of(a_l, new_id, active & (site >= 1) & (a_l >= 0))
+        b_r = jnp.where(site + 2 < L, _take_row(t, site + 2, row), -1)
+        rank_r = rank_of(new_id, b_r, active & (b_r >= 0))
+        rank2 = jnp.where(row == site[None, :] - 1, rank_l[None, :],
+                         jnp.where(row == site[None, :], rank_r[None, :],
+                                   rank2))
+        return (t2, rank2, la, lb, lrk, jnp.any(active))
 
-        def march_body(c):
-            t2, hole = c
-            t_dn = _shift_up_rows(t2, -1)
-            t2 = t2 + hole * (t_dn - t2)
-            return t2, _shift_down_rows(hole * (t_dn >= 0), 0)
+    out, _, _, _, _, _ = jax.lax.while_loop(
+        cond_fn, body_fn,
+        (tw, rank0, jnp.full(W, -1, jnp.int32),
+         jnp.full(W, -1, jnp.int32), jnp.zeros(W, jnp.int32),
+         jnp.bool_(True)))
 
-        t2, _ = jax.lax.while_loop(march_cond, march_body, (t2, hole))
-        return (t2, jnp.any(rmin < RANK_INF))
-
-    out, _ = jax.lax.while_loop(cond_fn, body_fn, (tw, jnp.bool_(True)))
-
-    # column-major compaction as one stable sort (no scatters): the live
-    # prefix of ids_sorted is every id in chunk order
+    # column-major packing without a sort: live ids stay contiguous at
+    # the top of each column (single-shift compaction), so output slot
+    # i belongs to column colof[i] = (# column starts <= i) - 1, at row
+    # i - start[colof[i]] — a W-scatter, a cumsum, and two out_cap
+    # gathers instead of an L*W 2-array sort.
     counts = jnp.sum((out >= 0).astype(jnp.int32), axis=0)     # [W]
-    ids2 = out.T.reshape(-1)
-    lin = jnp.arange(L * W, dtype=jnp.int32)
-    skey = jnp.where(ids2 >= 0, lin, jnp.iinfo(jnp.int32).max)
-    _, ids_sorted = jax.lax.sort((skey, ids2), num_keys=1)
-    cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
+    cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(counts)])                # [W+1]
+    steps = jnp.zeros(out_cap, jnp.int32).at[cum[:W]].add(
+        1, mode="drop")
+    colof = jnp.cumsum(steps) - 1                              # [out_cap]
+    pos = jnp.arange(out_cap, dtype=jnp.int32) - cum[colof]
+    ids_packed = out.reshape(-1)[
+        jnp.clip(pos, 0, L - 1) * W + jnp.clip(colof, 0, W - 1)]
     gcounts = cum[gb[1:]] - cum[gb[:-1]]
-    return ids_sorted.astype(out_dtype), gcounts, counts.astype(jnp.int8)
+    return ids_packed.astype(out_dtype), gcounts, counts.astype(jnp.int8)
 
 
 def _out_dtype(v: int):
@@ -304,30 +357,33 @@ def _out_dtype(v: int):
     return jnp.uint16 if v <= 65536 else jnp.int32
 
 
-@partial(jax.jit, static_argnames=("v", "L"))
+@partial(jax.jit, static_argnames=("v", "L", "out_cap"))
 def _encode_device(flat: jax.Array, off: jax.Array, lens: jax.Array,
                    gb: jax.Array, table_flat: jax.Array, *, v: int,
-                   L: int):
-    """Dense-table variant: one gather per round into int32[v*v]."""
-    def rank_of(t, nxt, valid):
-        key = jnp.where(valid, t * v + nxt, 0)
+                   L: int, out_cap: int):
+    """Dense-table variant: rank lookups index int32[v*v]."""
+    def rank_of(a, b, valid):
+        key = jnp.where(valid, a * v + b, 0)
         return jnp.where(valid, table_flat[key], RANK_INF)
 
-    return _encode_core(flat, off, lens, gb, rank_of, L, _out_dtype(v))
+    return _encode_core(flat, off, lens, gb, rank_of, L, _out_dtype(v),
+                        out_cap)
 
 
-@partial(jax.jit, static_argnames=("max_probe", "v", "L"))
+@partial(jax.jit, static_argnames=("max_probe", "v", "L", "out_cap"))
 def _encode_device_hash(flat: jax.Array, off: jax.Array, lens: jax.Array,
                         gb: jax.Array, ka: jax.Array, kb: jax.Array,
-                        rk: jax.Array, *, max_probe: int, v: int, L: int):
+                        rk: jax.Array, *, max_probe: int, v: int, L: int,
+                        out_cap: int):
     """Hash-probe variant for big vocabs: the dense [v, v] table at
     v = 32k would be ~4.3 GB of HBM; the open-addressing MergeTable is
     O(len(merges)) with a handful of gathers per round."""
-    def rank_of(t, nxt, valid):
+    def rank_of(a, b, valid):
         return lookup_ranks(MergeTable(ka, kb, rk, max_probe),
-                            t, nxt, valid)
+                            a, b, valid)
 
-    return _encode_core(flat, off, lens, gb, rank_of, L, _out_dtype(v))
+    return _encode_core(flat, off, lens, gb, rank_of, L, _out_dtype(v),
+                        out_cap)
 
 
 LEN_BUCKETS = (4, 8, 16, 32, 64)
@@ -350,27 +406,35 @@ def _get_table(merges, v, _cache):
     return table
 
 
-def _encode_block(dflat, lens, off, table, v, gbn):
+def _encode_block(dflat, lens, off, table, v, gbn, contiguous=False):
     """One [L, W] device call over chunks of similar length.  ``dflat``
-    is the ALREADY-UPLOADED full byte stream; only two int32[W] vectors
-    go up per block (the layout gather runs on device).  Returns
-    (device ids_sorted, device gcounts, device per-chunk counts)."""
+    is the ALREADY-UPLOADED full byte stream; per block only a uint8[W]
+    length vector goes up (plus an int32[W] offset vector unless the
+    chunks are contiguous in the stream — then offsets are a device
+    cumsum).  Returns (device packed ids, device gcounts, device
+    per-chunk counts)."""
     n = len(lens)
     L = _bucket(int(lens.max(initial=1)), floor=4)
     W = _bucket(n, floor=256)
-    off_w = np.zeros(W, np.int32)
-    off_w[:n] = off
-    lens_w = np.zeros(W, np.int32)
+    out_cap = _bucket(int(lens.sum()), floor=1024)   # ids <= input bytes
+    lens_w = np.zeros(W, np.uint8)                   # lens <= MAX_TW_LEN
     lens_w[:n] = lens
+    if contiguous:
+        off_d = None
+    else:
+        off_w = np.zeros(W, np.int32)
+        off_w[:n] = off
+        off_d = jnp.asarray(off_w)
     gb = np.full(_bucket(len(gbn), floor=16), n, np.int32)
     gb[:len(gbn)] = gbn
     if isinstance(table, MergeTable):
         return _encode_device_hash(
-            dflat, jnp.asarray(off_w), jnp.asarray(lens_w),
+            dflat, off_d, jnp.asarray(lens_w),
             jnp.asarray(gb), table.ka, table.kb, table.rank,
-            max_probe=table.max_probe, v=v, L=L)
-    return _encode_device(dflat, jnp.asarray(off_w), jnp.asarray(lens_w),
-                          jnp.asarray(gb), table, v=v, L=L)
+            max_probe=table.max_probe, v=v, L=L, out_cap=out_cap)
+    return _encode_device(dflat, off_d, jnp.asarray(lens_w),
+                          jnp.asarray(gb), table, v=v, L=L,
+                          out_cap=out_cap)
 
 
 def _encode_all(flat: np.ndarray, lens: np.ndarray, off: np.ndarray,
@@ -399,10 +463,16 @@ def _encode_all(flat: np.ndarray, lens: np.ndarray, off: np.ndarray,
     which = np.searchsorted(np.asarray(LEN_BUCKETS), lens)
     n_buckets = int(which.max(initial=0)) + 1
     if single_block or n_buckets <= 1 or maxlen <= LEN_BUCKETS[0]:
-        ids_sorted, _, counts = _encode_block(
-            dflat, lens, off, table, v, np.array([0, n]))
-        cb = np.asarray(counts)[:n].astype(np.int64)
-        ids = np.asarray(ids_sorted[: int(cb.sum())]).astype(np.int32)
+        ids_packed, _, counts = _encode_block(
+            dflat, lens, off, table, v, np.array([0, n]),
+            contiguous=True)
+        # ONE transfer round for both results: the id download is
+        # bounded by the host-known byte total instead of waiting a
+        # round-trip for the exact count
+        ub = min(int(lens.sum()), ids_packed.shape[0])
+        counts_h, ids_h = jax.device_get((counts, ids_packed[:ub]))
+        cb = counts_h[:n].astype(np.int64)
+        ids = ids_h[: int(cb.sum())].astype(np.int32)
         return ids, cb
 
     # multi-bucket: encode each length class in its own short block,
@@ -413,20 +483,26 @@ def _encode_all(flat: np.ndarray, lens: np.ndarray, off: np.ndarray,
         if len(idx) == 0:
             dev_parts.append(None)
             continue
-        ids_sorted, _, counts = _encode_block(
+        ids_packed, _, counts = _encode_block(
             dflat, lens[idx], off[idx], table, v,
             np.array([0, len(idx)]))
-        dev_parts.append((idx, ids_sorted, counts))
-    # downloads happen after every dispatch is queued
+        ub = min(int(lens[idx].sum()), ids_packed.shape[0])
+        dev_parts.append((idx, ids_packed[:ub], counts))
+    # ONE transfer round after every dispatch is queued
+    got = jax.device_get([(p[1], p[2]) for p in dev_parts
+                          if p is not None])
     counts_full = np.zeros(n, np.int64)
     bucket_ids = {}
+    gi = 0
     for b, part in enumerate(dev_parts):
         if part is None:
             continue
-        idx, ids_sorted, counts = part
-        cb = np.asarray(counts)[: len(idx)].astype(np.int64)
+        idx = part[0]
+        ids_h, counts_h = got[gi]
+        gi += 1
+        cb = counts_h[: len(idx)].astype(np.int64)
         counts_full[idx] = cb
-        bucket_ids[b] = (idx, np.asarray(ids_sorted[: int(cb.sum())]), cb)
+        bucket_ids[b] = (idx, ids_h[: int(cb.sum())], cb)
     out_off = np.zeros(n + 1, np.int64)
     np.cumsum(counts_full, out=out_off[1:])
     total = int(out_off[-1])
@@ -472,7 +548,9 @@ def _encode_counts(flat, lens, off, table, v):
         return _encode_all(flat, lens, off, table, v)
 
     # dedup path: encode unique chunks (compacted into their own small
-    # flat buffer), then expand to the full stream by gather
+    # flat buffer), then expand to the full stream with the native
+    # memcpy pass (the numpy repeat-gather formulation cost ~0.3 s per
+    # 2.3M output ids — the single largest term of the old 10 MB/s)
     inverse, uniq = dd
     lens_u = lens[uniq]
     off_u = np.zeros(len(uniq), np.int64)
@@ -485,15 +563,11 @@ def _encode_counts(flat, lens, off, table, v):
     ids_u, cnt_u = _encode_all(
         flat[src], lens_u, off_u, table, v,
         single_block=Lb * Wb <= SINGLE_BLOCK_MAX_CELLS)
+    from ..runtime import native
     uoff = np.zeros(len(uniq) + 1, np.int64)
     np.cumsum(cnt_u, out=uoff[1:])
     counts_full = cnt_u[inverse]
-    out_off = np.zeros(n + 1, np.int64)
-    np.cumsum(counts_full, out=out_off[1:])
-    total = int(out_off[-1])
-    inner = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1],
-                                                         counts_full)
-    out = ids_u[np.repeat(uoff[inverse], counts_full) + inner]
+    out = native.expand_ids(ids_u, uoff, inverse, int(counts_full.sum()))
     return out, counts_full
 
 
@@ -554,6 +628,40 @@ def encode_stream(flat: np.ndarray, lens: np.ndarray, merges: np.ndarray,
     out_off = np.zeros(n + 1, np.int64)
     np.cumsum(counts, out=out_off[1:])
     return np.split(ids, out_off[gbn[1:-1]]) if g > 1 else [ids]
+
+
+def encode_ws_text(flat: np.ndarray, merges: np.ndarray, v: int,
+                   _cache: dict | None = None) -> np.ndarray | None:
+    """Whole-text device encode over whitespace-keep chunking, fully
+    fused host side: ONE native pass chunks the raw stream and
+    deduplicates the chunks (csrc/dedup.cpp shred_ws_chunk_dedup), the
+    device encodes each DISTINCT chunk once, and the native memcpy pass
+    expands the unique ids back to the full stream.  Returns None when
+    a chunk exceeds MAX_TW_LEN (caller falls back to the splice path).
+    """
+    from ..runtime import native
+    flat = np.ascontiguousarray(flat, np.uint8)
+    inverse, uoff_b, ulen = native.ws_chunk_dedup(flat)
+    if len(inverse) == 0:
+        return np.zeros(0, np.int32)
+    if int(ulen.max(initial=0)) > MAX_TW_LEN:
+        return None
+    table = _get_table(merges, v, _cache)
+    lens_u = ulen.astype(np.int64)
+    off_u = np.zeros(len(lens_u), np.int64)
+    np.cumsum(lens_u[:-1], out=off_u[1:])
+    src = np.repeat(uoff_b, lens_u) + (
+        np.arange(int(lens_u.sum()), dtype=np.int64)
+        - np.repeat(off_u, lens_u))
+    Lb = _bucket(int(lens_u.max(initial=1)), floor=4)
+    Wb = _bucket(len(lens_u), floor=256)
+    ids_u, cnt_u = _encode_all(
+        flat[src], lens_u, off_u, table, v,
+        single_block=Lb * Wb <= SINGLE_BLOCK_MAX_CELLS)
+    uoff = np.zeros(len(cnt_u) + 1, np.int64)
+    np.cumsum(cnt_u, out=uoff[1:])
+    total = int(cnt_u[inverse].sum())
+    return native.expand_ids(ids_u, uoff, inverse, total)
 
 
 def encode_chunks(chunks: list[bytes], table: MergeTable,

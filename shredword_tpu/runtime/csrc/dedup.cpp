@@ -52,4 +52,101 @@ int64_t shred_dedup_spans(const uint8_t* data, const int64_t* off,
   return n_uniq;
 }
 
+// Fused whitespace-keep chunking + dedup: one pass over the raw text
+// stream replaces the host-side numpy chunker followed by
+// shred_dedup_spans (two passes + an index materialization).  Chunks
+// are maximal runs of whitespace / non-whitespace bytes, ws = {' ',
+// '\t', '\r', '\n'} — the byte-level mirror of the pure-Python
+// whitespace_keep_split contract (which itself generalizes the
+// reference's strtok delimiters, bpe.cpp:247).
+//
+// Writes inverse[i] = dense unique id of chunk i (first-occurrence
+// order), uniq_off[j]/uniq_len[j] = unique chunk j's byte span in
+// `data`, *n_chunks_out = number of chunks.  inverse must have
+// capacity >= n (worst case: 1-byte chunks); uniq_off/uniq_len the
+// same.  Returns the number of unique chunks.
+int64_t shred_ws_chunk_dedup(const uint8_t* data, int64_t n,
+                             int32_t* inverse, int64_t* uniq_off,
+                             int32_t* uniq_len, int64_t* n_chunks_out) {
+  auto is_ws = [](uint8_t c) {
+    return c == ' ' || c == '\t' || c == '\r' || c == '\n';
+  };
+  // cheap pre-pass: count chunks (= class transitions + 1) so the hash
+  // table is sized by actual chunk count, not byte count — a
+  // byte-count-sized table (8M slots for 4 MB) thrashes the cache
+  int64_t est_chunks = n > 0 ? 1 : 0;
+  for (int64_t k = 1; k < n; k++)
+    est_chunks += is_ws(data[k]) != is_ws(data[k - 1]);
+  size_t cap = 16;
+  while (cap < (size_t)est_chunks * 2 + 16) cap <<= 1;
+  std::vector<int32_t> table(cap, 0);  // slot -> unique id + 1
+  const size_t mask = cap - 1;
+  int64_t n_uniq = 0, n_chunks = 0;
+  int64_t i = 0;
+  while (i < n) {
+    const bool ws = is_ws(data[i]);
+    int64_t j = i + 1;
+    while (j < n && is_ws(data[j]) == ws) j++;
+    const int64_t len = j - i;
+    const uint8_t* p = data + i;
+    size_t slot = (size_t)(shred::fnv1a64(p, (size_t)len) & mask);
+    for (;;) {
+      int32_t u = table[slot];
+      if (u == 0) {
+        table[slot] = (int32_t)(n_uniq + 1);
+        uniq_off[n_uniq] = i;
+        uniq_len[n_uniq] = (int32_t)len;
+        inverse[n_chunks] = (int32_t)n_uniq;
+        n_uniq++;
+        break;
+      }
+      if (uniq_len[u - 1] == (int32_t)len &&
+          std::memcmp(data + uniq_off[u - 1], p, (size_t)len) == 0) {
+        inverse[n_chunks] = u - 1;
+        break;
+      }
+      slot = (slot + 1) & mask;
+    }
+    n_chunks++;
+    i = j;
+  }
+  *n_chunks_out = n_chunks;
+  return n_uniq;
+}
+
+// Expand per-unique-chunk id runs back to the full chunk stream:
+// out = concat over chunks i of ids_u[uoff[inverse[i]] ..
+// uoff[inverse[i] + 1]).  The numpy repeat-gather formulation of this
+// costs ~0.3 s per 2.3M output ids; here it is a memcpy loop at memory
+// bandwidth.  Returns the number of ids written.
+int64_t shred_expand_ids(const int32_t* ids_u, const int64_t* uoff,
+                         const int32_t* inverse, int64_t n_chunks,
+                         int32_t* out) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n_chunks; i++) {
+    const int32_t u = inverse[i];
+    const int64_t o = uoff[u];
+    const int64_t len = uoff[u + 1] - o;
+    std::memcpy(out + pos, ids_u + o, (size_t)len * sizeof(int32_t));
+    pos += len;
+  }
+  return pos;
+}
+
+// Byte-piece expansion (the decode hot loop): out = concat over i of
+// flat[off[ids[i]] .. off[ids[i] + 1]).  ids must be pre-validated by
+// the caller (the Python decode path masks unknown ids first).
+// Returns the number of bytes written.
+int64_t shred_expand_bytes(const uint8_t* flat, const int64_t* off,
+                           const int32_t* ids, int64_t n, uint8_t* out) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; i++) {
+    const int64_t o = off[ids[i]];
+    const int64_t len = off[ids[i] + 1] - o;
+    std::memcpy(out + pos, flat + o, (size_t)len);
+    pos += len;
+  }
+  return pos;
+}
+
 }  // extern "C"

@@ -130,6 +130,17 @@ def _declare(L: ctypes.CDLL) -> None:
                                     ctypes.c_void_p, i64, ctypes.c_void_p,
                                     ctypes.c_void_p]
     L.shred_dedup_spans.restype = i64
+    L.shred_ws_chunk_dedup.argtypes = [ctypes.c_void_p, i64,
+                                       ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_void_p,
+                                       ctypes.POINTER(i64)]
+    L.shred_ws_chunk_dedup.restype = i64
+    L.shred_expand_ids.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_void_p, i64, ctypes.c_void_p]
+    L.shred_expand_ids.restype = i64
+    L.shred_expand_bytes.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p, i64, ctypes.c_void_p]
+    L.shred_expand_bytes.restype = i64
 
 
 def _ptr(a: np.ndarray):
@@ -459,6 +470,60 @@ def dedup_spans(flat: np.ndarray, off: np.ndarray,
     u = lib().shred_dedup_spans(_ptr(flat), _ptr(off), _ptr(lens), n,
                                 _ptr(inverse), _ptr(uniq))
     return inverse, uniq[:u].copy()
+
+
+def ws_chunk_dedup(data) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fused whitespace-keep chunking + dedup over a raw byte stream
+    (csrc/dedup.cpp, one pass).  Returns (inverse int32[n_chunks] —
+    dense unique id per chunk in stream order; uniq_off int64[u] /
+    uniq_len int32[u] — each unique chunk's byte span in `data`)."""
+    arr = np.ascontiguousarray(np.frombuffer(data, np.uint8)
+                               if isinstance(data, (bytes, bytearray))
+                               else data, np.uint8)
+    n = len(arr)
+    if n == 0:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int64),
+                np.zeros(0, np.int32))
+    inverse = np.empty(n, np.int32)
+    uniq_off = np.empty(n, np.int64)
+    uniq_len = np.empty(n, np.int32)
+    n_chunks = ctypes.c_int64(0)
+    u = lib().shred_ws_chunk_dedup(_ptr(arr), n, _ptr(inverse),
+                                   _ptr(uniq_off), _ptr(uniq_len),
+                                   ctypes.byref(n_chunks))
+    return (inverse[:n_chunks.value].copy(), uniq_off[:u].copy(),
+            uniq_len[:u].copy())
+
+
+def expand_ids(ids_u: np.ndarray, uoff: np.ndarray,
+               inverse: np.ndarray, total: int) -> np.ndarray:
+    """Expand per-unique-chunk id runs to the full stream (memcpy loop,
+    csrc/dedup.cpp): out = concat of ids_u[uoff[u]:uoff[u+1]] for u in
+    inverse.  `total` = sum of run lengths (caller computes it from the
+    per-unique counts)."""
+    ids_u = np.ascontiguousarray(ids_u, np.int32)
+    uoff = np.ascontiguousarray(uoff, np.int64)
+    inverse = np.ascontiguousarray(inverse, np.int32)
+    out = np.empty(total, np.int32)
+    written = lib().shred_expand_ids(_ptr(ids_u), _ptr(uoff),
+                                     _ptr(inverse), len(inverse), _ptr(out))
+    assert written == total, (written, total)
+    return out
+
+
+def expand_bytes(flat: np.ndarray, off: np.ndarray, ids: np.ndarray,
+                 total: int) -> bytes:
+    """Piece-table byte expansion (the decode hot loop as a memcpy
+    loop): concat of flat[off[i]:off[i+1]] for i in ids.  ids must be
+    pre-validated (in range, known)."""
+    flat = np.ascontiguousarray(flat, np.uint8)
+    off = np.ascontiguousarray(off, np.int64)
+    ids = np.ascontiguousarray(ids, np.int32)
+    out = np.empty(total, np.uint8)
+    written = lib().shred_expand_bytes(_ptr(flat), _ptr(off), _ptr(ids),
+                                       len(ids), _ptr(out))
+    assert written == total, (written, total)
+    return out.tobytes()
 
 
 def gpt_starts_bytes(data: bytes, cls_table: np.ndarray) -> np.ndarray:

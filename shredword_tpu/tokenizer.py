@@ -242,20 +242,19 @@ class Tokenizer:
         return np.diff(np.concatenate([[0], cut, [len(arr)]]))
 
     def _encode_text_tpu(self, data: bytes) -> np.ndarray:
-        """Whole-text device encode: the whitespace-keep chunking runs
-        as vectorized numpy over the raw bytes (no per-chunk Python
-        objects), then one encode_stream dispatch."""
+        """Whole-text device encode: one fused native pass chunks AND
+        dedups the raw bytes, the device encodes unique chunks, a
+        native memcpy pass expands the ids (encode_ops.encode_ws_text)."""
         from .ops import encode_ops
-        arr = np.frombuffer(data, np.uint8)
-        lens = self._ws_chunk_lens(arr)
-        if lens.max(initial=0) > encode_ops.MAX_TW_LEN:
-            chunks = pretokenize.whitespace_keep_split(data)
-            return self._encode_groups_tpu(chunks, [0, len(chunks)])[0]
         if self._table is None:
             self._table = {}
-        return encode_ops.encode_stream(
-            arr, lens, self.merges, 256 + len(self.merges), None,
-            self._table)[0]
+        out = encode_ops.encode_ws_text(
+            np.frombuffer(data, np.uint8), self.merges,
+            256 + len(self.merges), self._table)
+        if out is None:   # a chunk beyond MAX_TW_LEN: splice path
+            chunks = pretokenize.whitespace_keep_split(data)
+            return self._encode_groups_tpu(chunks, [0, len(chunks)])[0]
+        return out
 
     def encode_ordinary(self, text: str) -> list[int]:
         """Encode ignoring special tokens."""
@@ -440,13 +439,13 @@ class Tokenizer:
         total = int(piece_len.sum())
         if total == 0:
             return b""
-        # 1-D repeat-gather (no [n, max_len] intermediate): src byte i of
-        # the output is flat[off[id] + position-within-piece]
-        starts = np.repeat(off[ids], piece_len)
-        ends = np.cumsum(piece_len)
-        inner = np.arange(total, dtype=np.int64) - np.repeat(
-            ends - piece_len, piece_len)
-        return flat[starts + inner].tobytes()
+        # native memcpy expansion (csrc/dedup.cpp shred_expand_bytes):
+        # pieces are contiguous in `flat`, so piece i is
+        # flat[off[i]:off[i+1]] — the same expansion pass the encoder's
+        # dedup path uses, at memory bandwidth instead of numpy
+        # repeat-gather speed
+        from .runtime import native
+        return native.expand_bytes(flat, off, ids.astype(np.int32), total)
 
     def decode(self, ids, errors: str = "replace") -> str:
         """ids -> text.  Byte-level errors use utf-8 'replace' so any id
