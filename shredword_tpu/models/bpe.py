@@ -274,46 +274,17 @@ class BPETrainer:
             return self._train_sharded(tokens, word_id, wcount, target)
 
         import jax
-        # Auto engine selection never picks an interpret-mode Pallas
-        # kernel: with no TPU the fused engines emulate the kernel
-        # instruction-by-instruction (minutes for megabytes) while the
-        # flat XLA engine compiles natively for the host.  Explicit
-        # engine="hist"/"giant" still honors the request (that is how
-        # the differential tests drive interpret mode).
-        auto_tables = jax.default_backend() == "tpu" or _interpret_ok()
-        if not auto_tables and cfg.engine == "auto":
-            log.debug("no TPU backend: auto engine routes to the flat "
-                      "XLA engine (set engine='hist'/'giant' to force "
-                      "interpret-mode Pallas)")
-        if cfg.engine == "hist" or (cfg.engine == "auto" and auto_tables):
-            if len(self._merges) == 0:
-                out = self._train_hist(tokens, word_id, target)
-                if out is not None:
-                    return out
-            if cfg.engine == "hist" and len(self._merges) == 0:
-                raise TrainingError(
-                    "hist engine requested but the corpus/vocab does not "
-                    "fit its layout (word > 64 tokens or vocab > 32768)")
-        if cfg.engine == "giant":
-            if len(self._merges):
-                raise TrainingError(
-                    "engine='giant' does not support checkpoint resume; "
-                    "resume with engine='auto'/'flat' or retrain")
-            out = self._train_giant(tokens, word_id, target)
-            if out is None:
-                raise TrainingError(
-                    "giant engine requested but the corpus/vocab is "
-                    "outside its envelope (vocab > 32768, a word > 64 "
-                    "tokens, or unk_id >= 256)")
-            return out
 
         n_prev = len(self._merges)
         if n_prev:
-            # checkpoint resume: replay the learned merges onto the fresh
-            # corpus with the native encoder (exact — same rank-order,
-            # left-to-right overlap semantics as training), then continue
-            # with re-counted pairs, mirroring the reference's
-            # bpe_init-after-merge resumability (bpe.cpp:171-185).
+            # checkpoint resume (ANY device engine): replay the learned
+            # merges onto the fresh corpus with the native encoder
+            # (exact — same rank-order, left-to-right overlap semantics
+            # as training), then continue with re-counted pairs,
+            # mirroring the reference's bpe_init-after-merge
+            # resumability (bpe.cpp:171-185).  The table engines resume
+            # natively: their merge counters seed at n_prev so new ids
+            # continue at 256 + n_prev (hist_train docstring).
             lengths = np.bincount(word_id, minlength=self._arrays.n_words)
             offsets = np.zeros(len(lengths) + 1, np.int64)
             np.cumsum(lengths, out=offsets[1:])
@@ -329,6 +300,34 @@ class BPETrainer:
             n = len(tokens)
             log.info("Resumed from %d merges; replayed corpus has %d "
                      "tokens", n_prev, n)
+
+        # Auto engine selection never picks an interpret-mode Pallas
+        # kernel: with no TPU the fused engines emulate the kernel
+        # instruction-by-instruction (minutes for megabytes) while the
+        # flat XLA engine compiles natively for the host.  Explicit
+        # engine="hist"/"giant" still honors the request (that is how
+        # the differential tests drive interpret mode).
+        auto_tables = jax.default_backend() == "tpu" or _interpret_ok()
+        if not auto_tables and cfg.engine == "auto":
+            log.debug("no TPU backend: auto engine routes to the flat "
+                      "XLA engine (set engine='hist'/'giant' to force "
+                      "interpret-mode Pallas)")
+        if cfg.engine == "hist" or (cfg.engine == "auto" and auto_tables):
+            out = self._train_hist(tokens, word_id, target, n_prev)
+            if out is not None:
+                return out
+            if cfg.engine == "hist":
+                raise TrainingError(
+                    "hist engine requested but the corpus/vocab does not "
+                    "fit its layout (word > 64 tokens or vocab > 32768)")
+        if cfg.engine == "giant":
+            out = self._train_giant(tokens, word_id, target, n_prev)
+            if out is None:
+                raise TrainingError(
+                    "giant engine requested but the corpus/vocab is "
+                    "outside its envelope (vocab > 32768, a word > 64 "
+                    "tokens, or unk_id >= 256)")
+            return out
 
         log.debug("using the flat-stream engine")
         state = bpe_ops.make_state(tokens, word_id, wcount, _bucket(n))
@@ -504,10 +503,48 @@ class BPETrainer:
         self._trained = False
         return len(merges)
 
-    def _train_giant(self, tokens, word_id, target) -> int | None:
+    def _table_checkpoint_cb(self, n_prev: int):
+        """(cb, steps) for the table engines' progress callbacks.  The
+        engines report only NEW merges; the checkpoint must carry the
+        full sequence, so the replayed prefix is prepended."""
+        cfg = self.config
+        if not (cfg.checkpoint_path and cfg.checkpoint_every):
+            return None, None
+        from .. import checkpoint as ckpt
+        prev_m = self._merges[:n_prev].astype(np.int32)
+        prev_f = self._merge_freqs[:n_prev].astype(np.int64)
+
+        def cb(merges, freqs):
+            ckpt.save_checkpoint(
+                cfg.checkpoint_path,
+                merges=np.concatenate([prev_m,
+                                       merges.astype(np.int32)]),
+                merge_freqs=np.concatenate([prev_f,
+                                            freqs.astype(np.int64)]),
+                config=cfg)
+
+        return cb, cfg.checkpoint_every
+
+    def _finish_table_engine(self, merges, freqs, final_fn, n_prev,
+                             elapsed, engine: str) -> int:
+        self._merges = np.concatenate(
+            [self._merges[:n_prev], merges.astype(np.int32)])
+        self._merge_freqs = np.concatenate(
+            [self._merge_freqs[:n_prev], freqs.astype(np.int64)])
+        self._final_tokens = None
+        self._final_word_id = None
+        self._final_fn = final_fn
+        self._trained = True
+        log.info("Training completed: %d merges performed. (%.2f s, "
+                 "%s engine)", len(merges), elapsed, engine)
+        return len(merges)
+
+    def _train_giant(self, tokens, word_id, target,
+                     n_prev: int = 0) -> int | None:
         """Giant HBM-table engine, selected explicitly (ops/bpe_giant.py;
         the auto path reaches it through hist_train's vocab routing).
-        Returns None if outside the envelope."""
+        Returns None if outside the envelope.  On resume the caller has
+        already replayed n_prev merges into `tokens`."""
         import jax
 
         from ..ops import bpe_giant
@@ -516,40 +553,27 @@ class BPETrainer:
         wc_word = np.minimum(self._arrays.counts,
                              np.iinfo(np.int32).max).astype(np.int32)
         interpret = jax.default_backend() != "tpu"
-        cb = None
-        steps = 4096
-        if cfg.checkpoint_path and cfg.checkpoint_every:
-            from .. import checkpoint as ckpt
-            steps = cfg.checkpoint_every
-
-            def cb(merges, freqs):
-                ckpt.save_checkpoint(
-                    cfg.checkpoint_path, merges=merges.astype(np.int32),
-                    merge_freqs=freqs.astype(np.int64), config=cfg)
-
+        cb, steps = self._table_checkpoint_cb(n_prev)
         with log.Timer("train", nbytes=self._arrays.total_raw_bytes) as t:
             out = bpe_giant.giant_train(
                 tokens, word_id, wc_word, target_merges=target,
                 unk_id=cfg.unk_id, min_pair_freq=cfg.min_pair_freq,
-                steps_per_call=steps, progress_cb=cb,
-                interpret=interpret, lazy_final=True)
+                steps_per_call=4096 if steps is None else steps,
+                progress_cb=cb, interpret=interpret, lazy_final=True,
+                n_prev_merges=n_prev)
             if out is None:
                 return None
             merges, freqs, final_fn = out
-        self._merges = merges.astype(np.int32)
-        self._merge_freqs = freqs.astype(np.int64)
-        self._final_tokens = None
-        self._final_word_id = None
-        self._final_fn = final_fn
-        self._trained = True
-        log.info("Training completed: %d merges performed. (%.2f s, "
-                 "giant engine)", len(merges), t.elapsed)
-        return len(merges)
+        return self._finish_table_engine(merges, freqs, final_fn, n_prev,
+                                         t.elapsed, "giant")
 
-    def _train_hist(self, tokens, word_id, target) -> int | None:
+    def _train_hist(self, tokens, word_id, target,
+                    n_prev: int = 0) -> int | None:
         """Histogram engine (ops/bpe_hist.py): fused Pallas merge kernel
         over the by-word layout with a maintained pair table — no global
-        sort per merge.  Returns None if the corpus does not fit."""
+        sort per merge.  Returns None if the corpus does not fit.  On
+        resume the caller has already replayed n_prev merges into
+        `tokens`."""
         import jax
 
         from ..ops import bpe_hist
@@ -558,35 +582,18 @@ class BPETrainer:
         counts = np.minimum(self._arrays.counts,
                             np.iinfo(np.int32).max).astype(np.int32)
         interpret = jax.default_backend() != "tpu"
-        cb = None
-        steps = None   # engine-specific default cadence (bpe_hist)
-        if cfg.checkpoint_path and cfg.checkpoint_every:
-            from .. import checkpoint as ckpt
-            steps = cfg.checkpoint_every
-
-            def cb(merges, freqs):
-                ckpt.save_checkpoint(
-                    cfg.checkpoint_path, merges=merges.astype(np.int32),
-                    merge_freqs=freqs.astype(np.int64), config=cfg)
-
+        cb, steps = self._table_checkpoint_cb(n_prev)
         with log.Timer("train", nbytes=self._arrays.total_raw_bytes) as t:
             out = bpe_hist.hist_train(
                 tokens, word_id, counts, target_merges=target,
                 unk_id=cfg.unk_id, min_pair_freq=cfg.min_pair_freq,
                 interpret=interpret, max_steps_per_call=steps,
-                progress_cb=cb, lazy_final=True)
+                progress_cb=cb, lazy_final=True, n_prev_merges=n_prev)
             if out is None:
                 return None
             merges, freqs, final_fn = out
-        self._merges = merges.astype(np.int32)
-        self._merge_freqs = freqs.astype(np.int64)
-        self._final_tokens = None
-        self._final_word_id = None
-        self._final_fn = final_fn
-        self._trained = True
-        log.info("Training completed: %d merges performed. (%.2f s, "
-                 "hist engine)", len(merges), t.elapsed)
-        return len(merges)
+        return self._finish_table_engine(merges, freqs, final_fn, n_prev,
+                                         t.elapsed, "hist")
 
     # ------------------------------------------------------------------
     # results

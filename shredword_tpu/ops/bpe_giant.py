@@ -629,21 +629,27 @@ def make_giant_train(v: int, L: int, NC: int, steps: int,
 # driver
 # ---------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("v",))
-def _giant_init_tables(tw, wc, unk_id, *, v: int):
+@partial(jax.jit, static_argnames=("v", "id_bound"))
+def _giant_init_tables(tw, wc, unk_id, *, v: int, id_bound: int = 256):
     """Initial [v, vh, 128] pair table + row-max matrix on device.
 
-    Initial ids are bytes (or unk, which counting excludes), so the
+    Fresh runs: ids are bytes (or unk, which counting excludes), so the
     nonzero region is [0, 256)^2 — built with the small histogram and
-    embedded; nothing quadratic in v crosses the host link."""
+    embedded; nothing quadratic in v crosses the host link.
+
+    Checkpoint resume: the replayed corpus holds ids up to ``id_bound``
+    (= 256 + replayed merges); the square embedded histogram covers
+    [0, vi)^2 with vi = id_bound rounded up to the lane width."""
     from .bpe_hist import HistCorpus, init_hist
     vh = v // 128
-    small = init_hist(HistCorpus(tw, wc), unk_id, v=256)    # [256, 256]
+    vi = min(v, -(-max(id_bound, 256) // 128) * 128)
+    small = init_hist(HistCorpus(tw, wc), unk_id, v=vi)     # [vi, vi]
     hist4 = jnp.zeros((v, vh, 128), jnp.int32)
-    hist4 = hist4.at[:256, :2, :].set(small.reshape(256, 2, 128))
-    rm256 = jnp.max(small, axis=1)                          # [256]
+    hist4 = hist4.at[:vi, :vi // 128, :].set(
+        small.reshape(vi, vi // 128, 128))
+    rm = jnp.max(small, axis=1)                             # [vi]
     rowmax = jnp.zeros((vh, 128), jnp.int32)
-    rowmax = rowmax.at[:2, :].set(rm256.reshape(2, 128))
+    rowmax = rowmax.at[:vi // 128, :].set(rm.reshape(vi // 128, 128))
     return hist4, rowmax
 
 
@@ -664,7 +670,7 @@ def giant_train(tokens: np.ndarray, word_id: np.ndarray,
                 max_word_len: int = 64, steps_per_call: int = 4096,
                 interpret: bool = False, progress_cb=None,
                 lazy_final: bool = False, chunk_width: int | None = None,
-                _cache={}):
+                n_prev_merges: int = 0, _cache={}):
     """Full driver: one upload, one dispatch per steps_per_call merges,
     16 bytes of readback per merge.  Returns (merges[M, 2], freqs[M],
     final tokens, final word_id) — or a lazy final_fn — or None if the
@@ -714,16 +720,21 @@ def giant_train(tokens: np.ndarray, word_id: np.ndarray,
     wc = jnp.asarray(lay.wc)
     presT = jnp.asarray(lay.presT)
     lens = jnp.asarray(lay.lens)
-    hist4, rowmax = _giant_init_tables(tw, wc, jnp.int32(unk_id), v=v)
+    hist4, rowmax = _giant_init_tables(tw, wc, jnp.int32(unk_id), v=v,
+                                       id_bound=256 + n_prev_merges)
     nc_used = max(1, -(-lay.n_words // cw))
 
+    # Resume: the caller replayed n_prev_merges merges into the corpus;
+    # the kernel's merge counter (scal[2]) continues from there and only
+    # new merges are returned (hist_train docstring contract).
     merges_np: list = []
     freqs_np: list = []
     done = 0
-    while len(merges_np) < target_merges and not done:
-        giant = get_giant(len(merges_np))
-        allowed = target_merges - len(merges_np)
-        scal = jnp.array([unk_id, min_pair_freq, len(merges_np), done,
+    while len(merges_np) + n_prev_merges < target_merges and not done:
+        giant = get_giant(n_prev_merges + len(merges_np))
+        allowed = target_merges - n_prev_merges - len(merges_np)
+        scal = jnp.array([unk_id, min_pair_freq,
+                          n_prev_merges + len(merges_np), done,
                           allowed, nc_used], jnp.int32)
         try:
             tw, hist4, presT, rowmax, mrows = giant(

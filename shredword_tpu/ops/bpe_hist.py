@@ -882,7 +882,7 @@ def _hist_from_3d(tw3, wc3, unk_id, v: int):
 def fused_hist_train(c: HistCorpus, v: int, *, target_merges: int,
                      unk_id: int, min_pair_freq: int,
                      steps_per_call: int, interpret: bool = False,
-                     progress_cb=None, _cache={}):
+                     progress_cb=None, n_prev: int = 0, _cache={}):
     """Drive make_fused_train to target_merges; returns a HistTrainState
     (corpus back in [L, W] int32 layout) or None if it does not fit.
 
@@ -942,13 +942,19 @@ def fused_hist_train(c: HistCorpus, v: int, *, target_merges: int,
     wc3 = jnp.asarray(np.ascontiguousarray(
         wc_np.reshape(1, NC, fc).transpose(1, 0, 2)))
 
+    # Resume support: n_prev previously learned merges were already
+    # REPLAYED into the corpus by the caller; the kernel's merge
+    # counter starts at n_prev so new ids continue at 256 + n_prev
+    # (the kernel derives new_id from scal[2]).  Only NEW merges are
+    # returned.
     merges_np = []
     freqs_np = []
     done = 0
     hist = None
-    while len(merges_np) < target_merges and not done:
-        allowed = target_merges - len(merges_np)
-        scal = jnp.array([unk_id, min_pair_freq, len(merges_np), done,
+    while len(merges_np) + n_prev < target_merges and not done:
+        allowed = target_merges - n_prev - len(merges_np)
+        scal = jnp.array([unk_id, min_pair_freq,
+                          n_prev + len(merges_np), done,
                           allowed], jnp.int32)
         if hist is None:
             tw3, hist, recs = first_call(tw3, wc3, scal)
@@ -1118,13 +1124,20 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
                max_steps_per_call: int | None = None,
                interpret: bool = False,
                sparse: bool = False, progress_cb=None,
-               lazy_final: bool = False, _cache={}):
+               lazy_final: bool = False, n_prev_merges: int = 0,
+               _cache={}):
     # sparse (chunk-skipping, manual DMA) measured SLOWER than the dense
     # double-buffered pipeline at bench scale (1.85s vs 1.14s for 512
     # merges): early merges touch every chunk and the manual copies
     # serialize.  Kept for large-vocab/rare-pair regimes; default dense.
     """Full driver.  Returns (merges[M,2], freqs[M], final flat tokens,
-    final word_id) or None if the layout does not fit."""
+    final word_id) or None if the layout does not fit.
+
+    Checkpoint resume: pass the REPLAYED corpus (previous merges already
+    applied by the caller — models/bpe.py does this with the native
+    encoder) plus ``n_prev_merges``; new ids continue at
+    256 + n_prev_merges and ``target_merges`` counts from zero (total
+    including the previous run).  Only new merges are returned."""
     from . import bpe_giant
 
     # Engine-specific dispatch cadences: the fused VMEM kernel defaults
@@ -1145,14 +1158,14 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
             max_word_len=max_word_len,
             steps_per_call=giant_steps,
             interpret=interpret, progress_cb=progress_cb,
-            lazy_final=lazy_final)
+            lazy_final=lazy_final, n_prev_merges=n_prev_merges)
     c = build_layout(tokens, word_id, wcount, max_word_len,
                      min_len=16)   # int16 storage: (16, 128) min tile
     if c is None:
         return None
     L, W = c.tw.shape
     ts = None
-    if sparse:
+    if sparse and n_prev_merges == 0:
         ts = _sparse_drive(c, v, unk_id, min_pair_freq, target_merges,
                            fused_steps, interpret, _cache,
                            progress_cb)
@@ -1163,7 +1176,7 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
             c, v, target_merges=target_merges, unk_id=unk_id,
             min_pair_freq=min_pair_freq,
             steps_per_call=fused_steps, interpret=interpret,
-            progress_cb=progress_cb, _cache=_cache)
+            progress_cb=progress_cb, n_prev=n_prev_merges, _cache=_cache)
     if ts is None:
         # corpus too large for the VMEM-resident fused kernel: the giant
         # engine streams chunks from HBM and skips by presence — far
@@ -1174,13 +1187,15 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
             max_word_len=max_word_len,
             steps_per_call=giant_steps,
             interpret=interpret, progress_cb=progress_cb,
-            lazy_final=lazy_final)
+            lazy_final=lazy_final, n_prev_merges=n_prev_merges)
         if out is not None:
             return out
     if ts is None:
         ts = hist_train_init(c, unk_id, max(target_merges, 1), v)
-        ts = ts._replace(corpus=HistCorpus(
-            ts.corpus.tw.astype(jnp.int16), ts.corpus.wcount))
+        ts = ts._replace(
+            corpus=HistCorpus(ts.corpus.tw.astype(jnp.int16),
+                              ts.corpus.wcount),
+            n_merges=jnp.int32(n_prev_merges))
         key = (v, L, W, target_merges, fused_steps, interpret)
         if key not in _cache:
             _cache[key] = make_train_loop(
@@ -1192,11 +1207,18 @@ def hist_train(tokens: np.ndarray, word_id: np.ndarray, wcount: np.ndarray,
             ts = loop(ts, jnp.int32(unk_id), jnp.int32(min_pair_freq))
             n_after = int(ts.n_merges)
             if progress_cb is not None:
-                progress_cb(np.asarray(ts.merges)[:n_after],
-                            np.asarray(ts.merge_freqs)[:n_after])
+                progress_cb(
+                    np.asarray(ts.merges)[n_prev_merges:n_after],
+                    np.asarray(ts.merge_freqs)[n_prev_merges:n_after])
             if bool(ts.done) or n_after >= target_merges \
                     or n_after == n_before:
                 break
+        # slots [0, n_prev_merges) were never written (resume seeds the
+        # counter, not the array): drop them from the returned state
+        ts = ts._replace(
+            merges=np.asarray(ts.merges)[n_prev_merges:],
+            merge_freqs=np.asarray(ts.merge_freqs)[n_prev_merges:],
+            n_merges=np.int32(int(ts.n_merges) - n_prev_merges))
     n = int(ts.n_merges)
     final_tw = ts.corpus.tw   # possibly still on device (fused path)
 

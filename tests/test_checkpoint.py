@@ -82,12 +82,11 @@ def test_checkpoint_rejects_garbage(tmp_path):
 
 def test_giant_engine_checkpoint_cadence(zipf_corpus_file, tmp_path):
     """engine='giant' honors checkpoint_path/checkpoint_every (it
-    previously skipped checkpoints silently) and refuses resume with a
-    clear error instead of silently downgrading engines."""
+    previously skipped checkpoints silently) and RESUMES from a
+    checkpoint on the same engine (new ids continue at 256 + n_prev),
+    converging to the uninterrupted result."""
     import numpy as np
-    import pytest
     from shredword_tpu import checkpoint as ckpt
-    from shredword_tpu.errors import TrainingError
     from shredword_tpu.models.bpe import BPETrainer
 
     path = str(tmp_path / "g.ckpt")
@@ -101,10 +100,64 @@ def test_giant_engine_checkpoint_cadence(zipf_corpus_file, tmp_path):
     assert len(m) == n
     np.testing.assert_array_equal(m, t.merges)
 
-    t2 = BPETrainer(target_vocab_size=330, unk_id=-1,
-                    character_coverage=0.9995, min_pair_freq=5,
-                    backend="tpu", engine="giant")
-    t2.load_corpus(zipf_corpus_file)
-    t2.load_checkpoint(path)
-    with pytest.raises(TrainingError):
-        t2.train()
+    # interrupt after 8 merges, resume on the giant engine itself
+    half = BPETrainer(target_vocab_size=330, unk_id=-1,
+                      character_coverage=0.9995, min_pair_freq=5,
+                      backend="tpu", engine="giant")
+    half.load_corpus(zipf_corpus_file)
+    assert half.train(max_merges=8) == 8
+    cp2 = str(tmp_path / "g2.ckpt")
+    half.save_checkpoint(cp2)
+
+    resumed = BPETrainer(target_vocab_size=330, unk_id=-1,
+                         character_coverage=0.9995, min_pair_freq=5,
+                         backend="tpu", engine="giant")
+    resumed.load_corpus(zipf_corpus_file)
+    assert resumed.load_checkpoint(cp2) == 8
+    assert resumed.train() == n - 8
+    np.testing.assert_array_equal(resumed.merges, t.merges)
+    np.testing.assert_array_equal(resumed.merge_freqs, t.merge_freqs)
+    np.testing.assert_array_equal(resumed.token_frequencies(),
+                                  t.token_frequencies())
+
+
+def test_hist_engine_resume_matches_uninterrupted(zipf_corpus_file,
+                                                  tmp_path):
+    """Resume continues on the HIST engine (not the slow flat path):
+    interrupted-then-resumed training equals uninterrupted training,
+    and the checkpoint written mid-resume carries the full sequence."""
+    import numpy as np
+    from shredword_tpu import checkpoint as ckpt
+    from shredword_tpu.models.bpe import BPETrainer
+
+    full = BPETrainer(target_vocab_size=330, unk_id=-1,
+                      character_coverage=0.9995, min_pair_freq=5,
+                      backend="tpu", engine="hist")
+    full.load_corpus(zipf_corpus_file)
+    n = full.train()
+    assert n > 12
+
+    half = BPETrainer(target_vocab_size=330, unk_id=-1,
+                      character_coverage=0.9995, min_pair_freq=5,
+                      backend="tpu", engine="hist")
+    half.load_corpus(zipf_corpus_file)
+    assert half.train(max_merges=12) == 12
+    cp = str(tmp_path / "h.ckpt")
+    half.save_checkpoint(cp)
+
+    path2 = str(tmp_path / "h_auto.ckpt")
+    resumed = BPETrainer(target_vocab_size=330, unk_id=-1,
+                         character_coverage=0.9995, min_pair_freq=5,
+                         backend="tpu", engine="hist",
+                         checkpoint_path=path2, checkpoint_every=8)
+    resumed.load_corpus(zipf_corpus_file)
+    assert resumed.load_checkpoint(cp) == 12
+    assert resumed.train() == n - 12
+    np.testing.assert_array_equal(resumed.merges, full.merges)
+    np.testing.assert_array_equal(resumed.merge_freqs, full.merge_freqs)
+    np.testing.assert_array_equal(resumed.token_frequencies(),
+                                  full.token_frequencies())
+    # the mid-resume checkpoint includes the replayed prefix
+    _, m2, _ = ckpt.load_checkpoint(path2)
+    np.testing.assert_array_equal(m2, full.merges[:len(m2)])
+    assert len(m2) > 12
