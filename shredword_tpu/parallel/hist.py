@@ -133,8 +133,12 @@ def sharded_hist_train(tokens: np.ndarray, word_id: np.ndarray,
                        _cache={}):
     """Sharded driver.  wcount is per word.  Returns (merges, freqs)
     or None if the layout does not fit."""
+    # Same per-shard envelope as the single-device while_loop engine
+    # (make_merge_step blocks are [L, CHUNK] + dl/dr columns in VMEM —
+    # v-independent except the [v, 1] delta columns): v <= 4096, beyond
+    # which the row-sharded giant table takes over (parallel/giant.py).
     v = -(-(256 + target_merges) // 128) * 128
-    if v > 2048:
+    if v > 4096:
         return None
     n_shards = mesh.devices.size
     c = shard_layout(tokens, word_id, wcount, n_shards)
