@@ -68,6 +68,7 @@ class UnigramTrainer:
             backend=backend, **kw).validate()
         self._words: list[bytes] | None = None
         self._wcounts: np.ndarray | None = None
+        self._slabs = None          # device-resident lattice tables
         self.pieces: list[bytes] = []
         self.log_probs: np.ndarray = np.zeros(0, np.float64)
 
@@ -78,6 +79,7 @@ class UnigramTrainer:
             data = f.read()
         self._words, self._wcounts = _prep_words(
             data, self.config.max_word_len)
+        self._slabs = None
         log.info("Unigram corpus: %d unique words, %d occurrences",
                  len(self._words), int(self._wcounts.sum()))
 
@@ -162,25 +164,71 @@ class UnigramTrainer:
     # set (int32) to ~126 MB at L=32, K=15 regardless of corpus size
     EM_SLAB_WORDS = 65536
 
-    def _e_step(self, pieces, logp):
-        """Expected piece counts + total log likelihood (device DP),
-        slab-batched so the piece table never materializes for the whole
-        corpus at once (unique words stream through in fixed-size
-        slabs; shapes bucket, so every slab reuses one executable)."""
+    def _dev_slab_tables(self, pieces):
+        """Device-resident per-slab lattice tables, built once for the
+        seed piece set and REMAPPED (device gather) at every prune —
+        the host piece-table rebuild and the 2x[L, W, K] upload happen
+        exactly once per slab for the whole training run instead of
+        once per EM round (the dominant cost of the r3 trainer)."""
         from ..ops import unigram_ops
+        if self._slabs is None:
+            L = self.config.max_word_len
+            K = self.config.max_piece_len
+            wlen = np.asarray([len(w) for w in self._words], np.int32)
+            wc = self._wcounts.astype(np.float32)
+            self._slabs = []
+            for s in range(0, len(self._words), self.EM_SLAB_WORDS):
+                e = min(s + self.EM_SLAB_WORDS, len(self._words))
+                table = native.piece_table(self._words[s:e], pieces, L, K)
+                self._slabs.append(unigram_ops.make_device_table(
+                    table, wlen[s:e], wc[s:e]))
+        return self._slabs
+
+    def _remap_slabs(self, keep: np.ndarray) -> None:
+        """Apply a prune to the resident tables: survivors renumber,
+        pruned cells become absent."""
+        if self._slabs is None:
+            return
+        from ..ops import unigram_ops
+        perm = np.where(keep, np.cumsum(keep) - 1, -1).astype(np.int32)
+        self._slabs = [unigram_ops.remap_device_table(dt, perm)
+                       for dt in self._slabs]
+
+    def _e_step(self, pieces, logp):
+        """Expected piece counts + total log likelihood (device DP).
+        The device path scans resident tables (zero per-round upload);
+        the cpu backend keeps the slab-streamed host fallback."""
+        from ..ops import unigram_ops
+        lp = np.asarray(logp, np.float32)
+        total = np.zeros(len(pieces), np.float64)
+        ll = 0.0
+        use_device = self.config.backend != "cpu"
+        if use_device:
+            # same routing rule as the BPE engines (models/bpe.py
+            # _interpret_ok): without a TPU the XLA lattice scan is ~15x
+            # slower than the vectorized numpy FB — never auto-selected
+            import jax
+
+            from .bpe import _interpret_ok
+            use_device = (jax.default_backend() == "tpu"
+                          or _interpret_ok())
+        if use_device:
+            for dt in self._dev_slab_tables(pieces):
+                c, l = unigram_ops.forward_backward_resident(
+                    dt, lp, len(pieces))
+                total += np.asarray(c, np.float64)
+                ll += float(l)
+            return total, ll
         L = self.config.max_word_len
         K = self.config.max_piece_len
         wlen = np.asarray([len(w) for w in self._words], np.int32)
         wc = self._wcounts.astype(np.float32)
-        lp = np.asarray(logp, np.float32)
-        total = np.zeros(len(pieces), np.float64)
-        ll = 0.0
         for s in range(0, len(self._words), self.EM_SLAB_WORDS):
             e = min(s + self.EM_SLAB_WORDS, len(self._words))
             table = native.piece_table(self._words[s:e], pieces, L, K)
             c, l = unigram_ops.forward_backward(
                 table, wlen[s:e], wc[s:e], lp, len(pieces),
-                backend=self.config.backend)
+                backend="cpu")
             total += np.asarray(c, np.float64)
             ll += float(l)
         return total, ll
@@ -190,6 +238,7 @@ class UnigramTrainer:
             raise TrainingError("load_corpus must be called before train")
         cfg = self.config
         pieces, counts = self._seed()
+        self._slabs = None          # resident tables track `pieces`
         freq = counts.astype(np.float64)
         logp = np.log(freq / freq.sum())
         log.info("Unigram seed: %d pieces", len(pieces))
@@ -215,6 +264,7 @@ class UnigramTrainer:
                     int(self._required(pieces).sum()),
                     cfg.target_vocab_size)
                 break
+            self._remap_slabs(keep)
             pieces = new_pieces
             logp = logp[keep]
             logp -= np.log(np.exp(logp).sum() + 1e-300)

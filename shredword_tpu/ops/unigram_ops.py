@@ -49,6 +49,10 @@ def _lse(x, axis):
 
 @partial(jax.jit, static_argnames=("n_pieces",))
 def _fb_device(ids_s, ids_e, lp_ext, wlen, wcount, n_pieces: int):
+    return _fb_core(ids_s, ids_e, lp_ext, wlen, wcount, n_pieces)
+
+
+def _fb_core(ids_s, ids_e, lp_ext, wlen, wcount, n_pieces: int):
     L, W, K = ids_s.shape
     lp_s = lp_ext[jnp.where(ids_s >= 0, ids_s, n_pieces)]  # [L, W, K]
     lp_e = lp_ext[jnp.where(ids_e >= 0, ids_e, n_pieces)]
@@ -151,9 +155,11 @@ def _fb_numpy(ids_s, ids_e, lp_ext, wlen, wcount, n_pieces: int):
         post = np.exp(alpha[:-1, :, None] + lp_s + b_end
                       - norm[None, :, None])
     post = np.where(ids_s >= 0, post * wcount[None, :, None], 0.0)
-    counts = np.zeros(n_pieces + 1)
-    np.add.at(counts, np.where(ids_s >= 0, ids_s, n_pieces).reshape(-1),
-              post.reshape(-1))
+    # bincount is the C-speed scatter-add (np.add.at costs ~1 s per 10M
+    # elements; bincount with weights ~100 ms)
+    counts = np.bincount(
+        np.where(ids_s >= 0, ids_s, n_pieces).reshape(-1),
+        weights=post.reshape(-1), minlength=n_pieces + 1)[:n_pieces + 1]
     ll = float(np.sum(np.where(np.isfinite(alpha_n), alpha_n * wcount, 0.0)))
     return counts[:n_pieces], ll
 
@@ -163,6 +169,92 @@ def _pow2(n: int, floor: int = 256) -> int:
     while c < n:
         c *= 2
     return c
+
+
+# ---------------------------------------------------------------------
+# device-resident tables (the EM fast path)
+# ---------------------------------------------------------------------
+#
+# The dominant cost of the slab-per-round formulation was the HOST side:
+# rebuilding the [W, L, K] piece table every EM round (O(W*L*K)
+# substring hashes) and re-uploading BOTH the start- and end-indexed
+# variants (2 * 126 MB per 64k-word slab per round through a 30-50 MB/s
+# tunnel).  The piece-id table only changes at prune boundaries, and
+# then only by an id PERMUTATION (a pruned piece's cells become -1;
+# survivors renumber) — so the table lives on device across the whole
+# training run: uploaded once per slab, ids_e DERIVED on device (a K
+# static shift of ids_s), and each prune applies a device gather remap.
+
+class DeviceTable:
+    """Per-slab device-resident lattice table."""
+
+    def __init__(self, ids_s, wlen, wcount, n_words: int):
+        self.ids_s = ids_s          # int32 [L, Wb, K], -1 = absent
+        self.wlen = wlen            # int32 [Wb]
+        self.wcount = wcount        # float32 [Wb]
+        self.n_words = n_words      # live words (<= Wb)
+
+
+def make_device_table(table: np.ndarray, wlen: np.ndarray,
+                      wcount: np.ndarray) -> DeviceTable:
+    """Upload one slab's start-indexed table (W padded to a power of
+    two so every slab shares one executable)."""
+    w = table.shape[0]
+    wb = _pow2(w)
+    ids_s = np.transpose(table, (1, 0, 2))          # [L, W, K]
+    if wb != w:
+        ids_s = np.pad(ids_s, ((0, 0), (0, wb - w), (0, 0)),
+                       constant_values=-1)
+        wlen = np.pad(np.asarray(wlen), (0, wb - w))
+        wcount = np.pad(np.asarray(wcount), (0, wb - w))
+    return DeviceTable(jnp.asarray(ids_s), jnp.asarray(wlen),
+                       jnp.asarray(wcount.astype(np.float32)), w)
+
+
+@jax.jit
+def _remap_ids(ids_s, perm_ext):
+    safe = jnp.where(ids_s >= 0, ids_s, perm_ext.shape[0] - 1)
+    return perm_ext[safe]
+
+
+def remap_device_table(dt: DeviceTable, perm: np.ndarray) -> DeviceTable:
+    """Renumber piece ids after a prune: perm[old] = new id, or -1 for
+    pruned pieces.  One device gather; nothing re-crosses the link but
+    the tiny perm vector."""
+    perm_ext = jnp.asarray(np.concatenate(
+        [perm.astype(np.int32), np.array([-1], np.int32)]))
+    return DeviceTable(_remap_ids(dt.ids_s, perm_ext), dt.wlen,
+                       dt.wcount, dt.n_words)
+
+
+@partial(jax.jit, static_argnames=("n_pieces",))
+def _fb_device_resident(ids_s, lp_ext, wlen, wcount, n_pieces: int):
+    """Forward-backward over a resident table; ids_e derived on device
+    (ids_e[j, :, k] = ids_s[j - k, :, k])."""
+    L, W, K = ids_s.shape
+    parts = []
+    for k in range(K):
+        col = ids_s[: L - k, :, k] if k else ids_s[:, :, k]
+        if k:
+            col = jnp.concatenate(
+                [jnp.full((k, W), -1, ids_s.dtype), col], axis=0)
+        parts.append(col)
+    ids_e = jnp.stack(parts, axis=-1)
+    return _fb_core(ids_s, ids_e, lp_ext, wlen, wcount, n_pieces)
+
+
+def forward_backward_resident(dt: DeviceTable, logp: np.ndarray,
+                              n_pieces: int):
+    """Expected counts + log likelihood from a device-resident slab.
+    n_pieces buckets to a power of two (the -inf padded tail of lp_ext
+    makes padded ids unreachable), so prune rounds reuse executables."""
+    nb = _pow2(n_pieces)
+    lp_ext = np.concatenate(
+        [np.asarray(logp, np.float32),
+         np.full(nb - n_pieces + 1, -np.inf, np.float32)])
+    counts, ll = _fb_device_resident(dt.ids_s, jnp.asarray(lp_ext),
+                                     dt.wlen, dt.wcount, n_pieces=nb)
+    return np.asarray(counts)[:n_pieces], float(ll)
 
 
 def forward_backward(table: np.ndarray, wlen: np.ndarray,
