@@ -358,26 +358,24 @@ def measure_giant_vocab() -> dict:
 
 
 def measure_unigram() -> dict:
-    """Unigram subsystem side metric: train a small unigram LM on 1 MB
-    of the bench corpus and measure device-Viterbi encode MB/s."""
+    """Unigram subsystem side metric: train a 1,024-piece unigram LM on
+    the FULL 16 MB bench corpus (device-resident lattice EM) and
+    measure device-Viterbi encode MB/s on 1 MB of it."""
     from shredword_tpu import UnigramTokenizer, UnigramTrainer
-    small = "/tmp/shred_bench/uni_corpus.txt"
-    if not os.path.exists(small):
-        with open(CORPUS) as f, open(small, "w") as g:
-            g.write(f.read(10**6))
     t = UnigramTrainer(target_vocab_size=1024, seed_size=10_000)
-    t.load_corpus(small)
+    t.load_corpus(CORPUS)
     t0 = time.perf_counter()
     n = t.train()
     train_s = time.perf_counter() - t0
     t.save("/tmp/shred_bench/uni.model")
     tok = UnigramTokenizer.load("/tmp/shred_bench/uni.model")
-    text = open(small).read()[:10**6]
+    text = open(CORPUS).read()[:10**6]
     nb = len(text.encode())
     ids = tok.encode(text)                   # warm
     enc_mbs = _best_mbs(lambda: tok.encode(text), nbytes=nb, trials=2)
-    return {"vocab": n, "train_s": train_s, "enc_mbs": enc_mbs,
-            "n_ids": len(ids)}
+    return {"vocab": n, "train_s": train_s,
+            "train_mbs": os.path.getsize(CORPUS) / 1e6 / train_s,
+            "enc_mbs": enc_mbs, "n_ids": len(ids)}
 
 
 def measure_presplit() -> dict:
@@ -454,12 +452,13 @@ def main() -> None:
     except Exception as e:  # encode side-metric must never sink the bench
         sys.stderr.write(f"[bench] encode side-metric failed: {e}\n")
     try:
-        with _alarm(300):
+        with _alarm(420):
             u = measure_unigram()
         sys.stderr.write(
-            f"[bench] unigram: {u['vocab']}-piece LM trained in "
-            f"{u['train_s']:.1f}s; viterbi encode {u['enc_mbs']:.1f} "
-            f"MB/s ({u['n_ids']} ids)\n")
+            f"[bench] unigram: {u['vocab']}-piece LM trained on the "
+            f"16 MB corpus in {u['train_s']:.1f}s "
+            f"({u['train_mbs']:.2f} MB/s); viterbi encode "
+            f"{u['enc_mbs']:.1f} MB/s ({u['n_ids']} ids)\n")
     except Exception as e:
         sys.stderr.write(f"[bench] unigram side-metric failed: {e}\n")
     try:

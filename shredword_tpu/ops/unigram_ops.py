@@ -48,14 +48,32 @@ def _lse(x, axis):
 
 
 @partial(jax.jit, static_argnames=("n_pieces",))
-def _fb_device(ids_s, ids_e, lp_ext, wlen, wcount, n_pieces: int):
-    return _fb_core(ids_s, ids_e, lp_ext, wlen, wcount, n_pieces)
+def _fb_device(ids_s, lp_ext, wlen, wcount, n_pieces: int):
+    return _fb_core(ids_s, lp_ext, wlen, wcount, n_pieces)
 
 
-def _fb_core(ids_s, ids_e, lp_ext, wlen, wcount, n_pieces: int):
+def _shift_k(x, fill):
+    """y[j, :, k] = x[j - k, :, k] (fill for j < k): the start->end
+    reindex shared by ids_e/lp_e, as K static slices — scalar gathers
+    over [L, W, K] cells measured ~140 ms on v5e; this is ~free."""
+    L, W, K = x.shape
+    parts = []
+    for k in range(K):
+        col = x[: L - k, :, k] if k else x[:, :, k]
+        if k:
+            col = jnp.concatenate(
+                [jnp.full((k, W), fill, x.dtype), col], axis=0)
+        parts.append(col)
+    return jnp.stack(parts, axis=-1)
+
+
+def _fb_core(ids_s, lp_ext, wlen, wcount, n_pieces: int):
     L, W, K = ids_s.shape
     lp_s = lp_ext[jnp.where(ids_s >= 0, ids_s, n_pieces)]  # [L, W, K]
-    lp_e = lp_ext[jnp.where(ids_e >= 0, ids_e, n_pieces)]
+    # lp of the piece ENDING at j+1 with length k+1 = lp of the piece
+    # starting at j-k — one gather + a static shift instead of a second
+    # 16.8M-cell scalar gather
+    lp_e = _shift_k(lp_s, NEG_INF)
 
     # forward: alpha[j] for j = 1..L ; window carries alpha[j-K..j-1]
     # window[:, -1] is alpha[j-1], window[:, -k] is alpha[j-k]
@@ -97,13 +115,17 @@ def _fb_core(ids_s, ids_e, lp_ext, wlen, wcount, n_pieces: int):
 
     # posteriors: piece at (start j, len k+1): alpha[j] + lp + beta[j+k+1]
     a_j = alpha_full[:-1]                          # [L, W] alpha[j]
-    k_idx = jnp.arange(K)[None, None, :]
-    end = jnp.minimum(jnp.arange(L)[:, None, None] + k_idx + 1, L)
-    b_end = jnp.take_along_axis(
-        jnp.broadcast_to(beta_full.T[:, :, None], (W, L + 1, K)),
-        jnp.broadcast_to(end.transpose(1, 0, 2), (W, L, K)),
-        axis=1)                                    # [W, L, K]
-    b_end = jnp.transpose(b_end, (1, 0, 2))        # [L, W, K]
+    # b_end[j, :, k] = beta_full[min(j + k + 1, L)] — a shift of beta
+    # along j, NOT a gather (take_along_axis here measured 443 ms per
+    # slab on v5e; K static slices are ~free)
+    b_parts = []
+    for k in range(K):
+        sl = beta_full[k + 1:]                     # [L - k, W]
+        if k:
+            sl = jnp.concatenate(
+                [sl, jnp.broadcast_to(beta_full[L:], (k, W))], axis=0)
+        b_parts.append(sl)
+    b_end = jnp.stack(b_parts, axis=-1)            # [L, W, K]
     norm = jnp.where(jnp.isfinite(alpha_n), alpha_n, 0.0)
     post = jnp.exp(a_j[:, :, None] + lp_s + b_end - norm[None, :, None])
     post = post * wcount[None, :, None]
@@ -229,18 +251,9 @@ def remap_device_table(dt: DeviceTable, perm: np.ndarray) -> DeviceTable:
 
 @partial(jax.jit, static_argnames=("n_pieces",))
 def _fb_device_resident(ids_s, lp_ext, wlen, wcount, n_pieces: int):
-    """Forward-backward over a resident table; ids_e derived on device
-    (ids_e[j, :, k] = ids_s[j - k, :, k])."""
-    L, W, K = ids_s.shape
-    parts = []
-    for k in range(K):
-        col = ids_s[: L - k, :, k] if k else ids_s[:, :, k]
-        if k:
-            col = jnp.concatenate(
-                [jnp.full((k, W), -1, ids_s.dtype), col], axis=0)
-        parts.append(col)
-    ids_e = jnp.stack(parts, axis=-1)
-    return _fb_core(ids_s, ids_e, lp_ext, wlen, wcount, n_pieces)
+    """Forward-backward over a resident table (end-indexed quantities
+    are derived inside _fb_core by static shifts)."""
+    return _fb_core(ids_s, lp_ext, wlen, wcount, n_pieces)
 
 
 def forward_backward_resident(dt: DeviceTable, logp: np.ndarray,
@@ -279,8 +292,6 @@ def forward_backward(table: np.ndarray, wlen: np.ndarray,
         pad = wb - w
         ids_s = np.pad(ids_s, ((0, 0), (0, pad), (0, 0)),
                        constant_values=-1)
-        ids_e = np.pad(ids_e, ((0, 0), (0, pad), (0, 0)),
-                       constant_values=-1)
         wlen = np.pad(wlen, (0, pad))
         wcount = np.pad(wcount, (0, pad))
     if nb != n_pieces:
@@ -290,12 +301,10 @@ def forward_backward(table: np.ndarray, wlen: np.ndarray,
                                          np.float32),
                                  lp_ext[-1:]])
         ids_s = np.where(ids_s >= 0, ids_s, nb)
-        ids_e = np.where(ids_e >= 0, ids_e, nb)
         # _fb_device maps negatives to its own sentinel; ids are already
         # remapped, so pass them through
-    dev_args = (jnp.asarray(ids_s), jnp.asarray(ids_e),
-                jnp.asarray(lp_ext), jnp.asarray(wlen),
-                jnp.asarray(wcount))
+    dev_args = (jnp.asarray(ids_s), jnp.asarray(lp_ext),
+                jnp.asarray(wlen), jnp.asarray(wcount))
     counts, ll = _fb_device(*dev_args, n_pieces=nb)
     return np.asarray(counts)[:n_pieces], float(ll)
 
