@@ -60,12 +60,17 @@ class UnigramTrainer:
     def __init__(self, target_vocab_size: int = 8192,
                  seed_size: int = 100_000, max_piece_len: int = 15,
                  max_word_len: int = 32, shrink_factor: float = 0.75,
-                 num_em_rounds: int = 2, backend: str = "tpu", **kw):
+                 num_em_rounds: int = 2, backend: str = "tpu",
+                 mesh=None, **kw):
         self.config = UnigramConfig(
             target_vocab_size=target_vocab_size, seed_size=seed_size,
             max_piece_len=max_piece_len, max_word_len=max_word_len,
             shrink_factor=shrink_factor, num_em_rounds=num_em_rounds,
             backend=backend, **kw).validate()
+        # jax.sharding.Mesh: shard the lattice tables (and the EM
+        # forward-backward) by word over the mesh's `data` axis —
+        # expected counts psum over ICI (parallel/unigram.py)
+        self.mesh = mesh
         self._words: list[bytes] | None = None
         self._wcounts: np.ndarray | None = None
         self._slabs = None          # device-resident lattice tables
@@ -180,8 +185,13 @@ class UnigramTrainer:
             for s in range(0, len(self._words), self.EM_SLAB_WORDS):
                 e = min(s + self.EM_SLAB_WORDS, len(self._words))
                 table = native.piece_table(self._words[s:e], pieces, L, K)
-                self._slabs.append(unigram_ops.make_device_table(
-                    table, wlen[s:e], wc[s:e]))
+                if self.mesh is not None:
+                    from ..parallel import unigram as par_uni
+                    self._slabs.append(par_uni.make_sharded_table(
+                        self.mesh, table, wlen[s:e], wc[s:e]))
+                else:
+                    self._slabs.append(unigram_ops.make_device_table(
+                        table, wlen[s:e], wc[s:e]))
         return self._slabs
 
     def _remap_slabs(self, keep: np.ndarray) -> None:
@@ -203,16 +213,27 @@ class UnigramTrainer:
         total = np.zeros(len(pieces), np.float64)
         ll = 0.0
         use_device = self.config.backend != "cpu"
-        if use_device:
+        if use_device and self.mesh is None:
             # same routing rule as the BPE engines (models/bpe.py
             # _interpret_ok): without a TPU the XLA lattice scan is ~15x
-            # slower than the vectorized numpy FB — never auto-selected
+            # slower than the vectorized numpy FB — never auto-selected.
+            # An explicit mesh is its own opt-in (the sharded FB is
+            # plain XLA and runs on any backend, incl. the virtual
+            # CPU mesh).
             import jax
 
             from .bpe import _interpret_ok
             use_device = (jax.default_backend() == "tpu"
                           or _interpret_ok())
         if use_device:
+            if self.mesh is not None:
+                from ..parallel import unigram as par_uni
+                for dt in self._dev_slab_tables(pieces):
+                    c, l = par_uni.sharded_forward_backward(
+                        dt, lp, len(pieces), mesh=self.mesh)
+                    total += np.asarray(c, np.float64)
+                    ll += float(l)
+                return total, ll
             for dt in self._dev_slab_tables(pieces):
                 c, l = unigram_ops.forward_backward_resident(
                     dt, lp, len(pieces))

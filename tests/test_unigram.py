@@ -257,3 +257,78 @@ def test_unigram_10mb_scale(tmp_path):
     words = list(tok._memo)[:50]
     for w in words:
         assert tok._memo[w] == tok.encode_word(w), w
+
+
+# ---------------------------------------------------------------------
+# mesh-sharded EM (parallel/unigram.py)
+# ---------------------------------------------------------------------
+
+def test_sharded_fb_matches_single_device():
+    """psum-reduced sharded forward-backward == single-device FB on the
+    same slab (word sharding partitions the sum exactly; float32 psum
+    vs the single-device scatter may differ only in add order)."""
+    from shredword_tpu import parallel
+    from shredword_tpu.parallel import unigram as par_uni
+
+    words = [MARKER + w for w in
+             (b"abab", b"bcb", b"aabb", b"c", b"abc", b"ccc", b"ba")]
+    pieces = sorted({w[i:j] for w in words
+                     for i in range(len(w))
+                     for j in range(i + 1, min(i + 4, len(w)) + 1)})
+    L, K = 8, 4
+    table = native.piece_table(words, pieces, L, K)
+    wlen = np.asarray([len(w) for w in words], np.int32)
+    wcount = np.asarray([3, 1, 2, 5, 1, 1, 2], np.float32)
+    logp = np.log(np.full(len(pieces), 1.0 / len(pieces)))
+
+    dt = unigram_ops.make_device_table(table, wlen, wcount)
+    want_c, want_ll = unigram_ops.forward_backward_resident(
+        dt, logp.astype(np.float32), len(pieces))
+
+    mesh = parallel.make_mesh(4)
+    sdt = par_uni.make_sharded_table(mesh, table, wlen, wcount)
+    got_c, got_ll = par_uni.sharded_forward_backward(
+        sdt, logp.astype(np.float32), len(pieces), mesh=mesh)
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-5, atol=1e-5)
+    assert abs(got_ll - want_ll) < 1e-3
+
+    # prune remap preserves sharded-vs-single agreement
+    keep = np.ones(len(pieces), bool)
+    keep[[i for i, p in enumerate(pieces) if len(p) > 1][::2]] = False
+    perm = np.where(keep, np.cumsum(keep) - 1, -1).astype(np.int32)
+    n2 = int(keep.sum())
+    lp2 = logp[keep].astype(np.float32)
+    dt2 = unigram_ops.remap_device_table(dt, perm)
+    sdt2 = par_uni.remap_sharded_table(sdt, perm)
+    want2, _ = unigram_ops.forward_backward_resident(dt2, lp2, n2)
+    got2, _ = par_uni.sharded_forward_backward(sdt2, lp2, n2, mesh=mesh)
+    np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_unigram_trainer_end_to_end(tmp_path, monkeypatch):
+    """UnigramTrainer(mesh=...) trains through the sharded EM path and
+    produces the same piece set as the single-device DEVICE trainer
+    (same float32 lattice math; the cpu backend's float64 FB can flip
+    prune-order ties and is compared elsewhere)."""
+    from shredword_tpu import parallel
+
+    corpus = tmp_path / "c.txt"
+    text = ("the cat sat on the mat " * 30 + "\n" +
+            "a cat and a hat " * 30 + "\n") * 3
+    corpus.write_text(text)
+
+    monkeypatch.setenv("SHRED_INTERPRET_OK", "1")   # single-device XLA FB
+    t1 = UnigramTrainer(target_vocab_size=40, seed_size=500,
+                        max_word_len=16, num_em_rounds=2)
+    t1.load_corpus(str(corpus))
+    n1 = t1.train()
+
+    mesh = parallel.make_mesh(4)
+    t2 = UnigramTrainer(target_vocab_size=40, seed_size=500,
+                        max_word_len=16, num_em_rounds=2, mesh=mesh)
+    t2.load_corpus(str(corpus))
+    n2 = t2.train()
+    assert n2 == n1
+    assert t2.pieces == t1.pieces
+    np.testing.assert_allclose(t2.log_probs, t1.log_probs,
+                               rtol=1e-4, atol=1e-4)
