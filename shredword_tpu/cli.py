@@ -103,6 +103,9 @@ def main(argv: list[str] | None = None) -> int:
     pu.add_argument("--max-piece-len", type=int, default=15)
     pu.add_argument("--em-rounds", type=int, default=2)
     pu.add_argument("--backend", choices=("tpu", "cpu"), default="tpu")
+    pu.add_argument("--shards", type=int, default=0,
+                    help="data-parallel word shards over the device "
+                         "mesh (0 = single device)")
 
     args = ap.parse_args(argv)
 
@@ -167,7 +170,7 @@ def main(argv: list[str] | None = None) -> int:
                            seed_size=args.seed_size,
                            max_piece_len=args.max_piece_len,
                            num_em_rounds=args.em_rounds,
-                           backend=args.backend)
+                           backend=args.backend, shards=args.shards)
         t.load_corpus(args.corpus)
         n = t.train()
         t.save(args.model)

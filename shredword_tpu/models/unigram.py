@@ -61,7 +61,7 @@ class UnigramTrainer:
                  seed_size: int = 100_000, max_piece_len: int = 15,
                  max_word_len: int = 32, shrink_factor: float = 0.75,
                  num_em_rounds: int = 2, backend: str = "tpu",
-                 mesh=None, **kw):
+                 mesh=None, shards: int = 0, **kw):
         self.config = UnigramConfig(
             target_vocab_size=target_vocab_size, seed_size=seed_size,
             max_piece_len=max_piece_len, max_word_len=max_word_len,
@@ -69,7 +69,12 @@ class UnigramTrainer:
             backend=backend, **kw).validate()
         # jax.sharding.Mesh: shard the lattice tables (and the EM
         # forward-backward) by word over the mesh's `data` axis —
-        # expected counts psum over ICI (parallel/unigram.py)
+        # expected counts psum over ICI (parallel/unigram.py).
+        # shards=N builds a 1-D mesh over local devices (BPETrainer's
+        # convention, models/bpe.py:64).
+        if mesh is None and shards > 1:
+            from ..parallel import make_mesh
+            mesh = make_mesh(shards)
         self.mesh = mesh
         self._words: list[bytes] | None = None
         self._wcounts: np.ndarray | None = None
@@ -182,16 +187,28 @@ class UnigramTrainer:
             wlen = np.asarray([len(w) for w in self._words], np.int32)
             wc = self._wcounts.astype(np.float32)
             self._slabs = []
-            for s in range(0, len(self._words), self.EM_SLAB_WORDS):
-                e = min(s + self.EM_SLAB_WORDS, len(self._words))
-                table = native.piece_table(self._words[s:e], pieces, L, K)
-                if self.mesh is not None:
-                    from ..parallel import unigram as par_uni
-                    self._slabs.append(par_uni.make_sharded_table(
-                        self.mesh, table, wlen[s:e], wc[s:e]))
-                else:
-                    self._slabs.append(unigram_ops.make_device_table(
-                        table, wlen[s:e], wc[s:e]))
+            # length-bucketed slabs: a word of length l needs only an
+            # [l-tight, W, K] lattice, and short words dominate natural
+            # text — riding them in the full-L table doubles every FB
+            # gather/scatter.  Buckets are L/2 (short) and L (rest);
+            # counts are order-independent, so bucketing is free.
+            buckets = ([L // 2, L] if L >= 8 else [L])
+            lo = 0
+            for b in buckets:
+                sel = np.nonzero((wlen > lo) & (wlen <= b))[0]
+                lo = b
+                for s in range(0, len(sel), self.EM_SLAB_WORDS):
+                    idx = sel[s:s + self.EM_SLAB_WORDS]
+                    words_b = [self._words[i] for i in idx]
+                    table = native.piece_table(words_b, pieces, b,
+                                               min(K, b))
+                    if self.mesh is not None:
+                        from ..parallel import unigram as par_uni
+                        self._slabs.append(par_uni.make_sharded_table(
+                            self.mesh, table, wlen[idx], wc[idx]))
+                    else:
+                        self._slabs.append(unigram_ops.make_device_table(
+                            table, wlen[idx], wc[idx]))
         return self._slabs
 
     def _remap_slabs(self, keep: np.ndarray) -> None:
