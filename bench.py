@@ -371,8 +371,9 @@ def measure_unigram() -> dict:
     tok = UnigramTokenizer.load("/tmp/shred_bench/uni.model")
     text = open(CORPUS).read()[:10**6]
     nb = len(text.encode())
-    ids = tok.encode(text)                   # warm
-    enc_mbs = _best_mbs(lambda: tok.encode(text), nbytes=nb, trials=2)
+    ids = tok.encode_array(text)             # warm
+    enc_mbs = _best_mbs(lambda: tok.encode_array(text), nbytes=nb,
+                        trials=2)
     return {"vocab": n, "train_s": train_s,
             "train_mbs": os.path.getsize(CORPUS) / 1e6 / train_s,
             "enc_mbs": enc_mbs, "n_ids": len(ids)}

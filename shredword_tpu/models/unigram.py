@@ -383,18 +383,46 @@ class UnigramTokenizer:
             ids.append(pid)
         return ids[::-1]
 
-    def encode(self, text: str) -> list[int]:
+    def _words_of(self, text: str) -> list[bytes]:
         norm = native.normalize(text.encode())
         words: list[bytes] = []
         for line in norm.split(b"\n"):
             for raw in line.split(_MARKER):
                 if raw:
                     words.append(_MARKER + raw)
-        self._segment_new(words)
-        out: list[int] = []
-        for w in words:
-            out.extend(self._memo[w])
-        return out
+        return words
+
+    def encode(self, text: str) -> list[int]:
+        return self.encode_array(text).tolist()
+
+    def encode_array(self, text: str) -> np.ndarray:
+        """encode() returning int32 numpy ids, with NO per-word Python
+        loop over the stream: ONE native pass splits the normalized
+        bytes into words AND deduplicates them (csrc/dedup.cpp
+        shred_marker_word_dedup — natural text repeats its words), only
+        the UNIQUE words materialize as Python bytes for the device
+        Viterbi, and the full id stream is a native memcpy expansion —
+        the same fused shape as the BPE encoder's whole-text path."""
+        norm = native.normalize(text.encode())
+        inverse, uoff_b, ulen = native.marker_word_dedup(norm)
+        if len(inverse) == 0:
+            return np.zeros(0, np.int32)
+        nb = norm if isinstance(norm, bytes) else bytes(norm)
+        uniq_words = [_MARKER + nb[o:o + l]
+                      for o, l in zip(uoff_b.tolist(), ulen.tolist())]
+        self._segment_new(uniq_words)
+        lens = np.empty(len(uniq_words), np.int64)
+        parts: list[list[int]] = []
+        for i, w in enumerate(uniq_words):
+            ids = self._memo[w]
+            parts.append(ids)
+            lens[i] = len(ids)
+        flat = np.fromiter((i for u in parts for i in u), np.int32,
+                           int(lens.sum()))
+        uoff = np.zeros(len(parts) + 1, np.int64)
+        np.cumsum(lens, out=uoff[1:])
+        total = int(lens[inverse].sum())
+        return native.expand_ids(flat, uoff, inverse, total)
 
     def _segment_new(self, words: list[bytes]) -> None:
         """Device-Viterbi any not-yet-memoized words (deduplicated,

@@ -310,11 +310,18 @@ def forward_backward(table: np.ndarray, wlen: np.ndarray,
 
 
 @partial(jax.jit, static_argnames=())
-def _viterbi_device(ids_e, lp_ext, wlen):
-    """Best-path scores and backpointers (host reconstructs paths)."""
-    L, W, K = ids_e.shape
+def _viterbi_device(ids_s, lp_ext, wlen):
+    """Per-word best-path FINAL scores + backpointers.
+
+    Downloads are the scarce resource on a tunneled chip: lp_e derives
+    from the uploaded start-indexed table by a static shift (no ids_e
+    upload), backpointers travel as int8 (k < K <= 127), and only the
+    [W] final-position scores come back instead of the full [L, W]
+    score lattice."""
+    L, W, K = ids_s.shape
     n_ext = lp_ext.shape[0] - 1
-    lp_e = lp_ext[jnp.where(ids_e >= 0, ids_e, n_ext)]
+    lp_s = lp_ext[jnp.where(ids_s >= 0, ids_s, n_ext)]
+    lp_e = _shift_k(lp_s, NEG_INF)
     win0 = jnp.full((W, K), NEG_INF).at[:, -1].set(0.0)
 
     def step(win, lp_e_j):
@@ -322,10 +329,13 @@ def _viterbi_device(ids_e, lp_ext, wlen):
         best_k = jnp.argmax(contrib, axis=1)
         a_j = jnp.max(contrib, axis=1)
         win = jnp.concatenate([win[:, 1:], a_j[:, None]], axis=1)
-        return win, (a_j, best_k.astype(jnp.int32))
+        return win, (a_j, best_k.astype(jnp.int8))
 
     _, (score, back) = jax.lax.scan(step, win0, lp_e)
-    return score, back
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, W), 0)
+    final = jnp.sum(jnp.where(row == wlen[None, :] - 1, score, 0.0),
+                    axis=0)
+    return final, back
 
 
 def viterbi(table: np.ndarray, wlen: np.ndarray, logp: np.ndarray,
@@ -333,23 +343,24 @@ def viterbi(table: np.ndarray, wlen: np.ndarray, logp: np.ndarray,
     """Batched Viterbi segmentation.  Returns list of piece-id lists
     (plus per-word best-path scores when return_scores).
     W buckets to a power of two (no per-batch-size recompiles)."""
-    ids_s, ids_e, lp_ext = _tables(table, logp)
     w = table.shape[0]
+    ids_s = np.transpose(table, (1, 0, 2))          # [L, W, K]
+    lp_ext = np.concatenate([logp, [-np.inf]]).astype(np.float32)
     wb = _pow2(w)
+    ids_up = ids_s
     if wb != w:
-        ids_e = np.pad(ids_e, ((0, 0), (0, wb - w), (0, 0)),
-                       constant_values=-1)
+        ids_up = np.pad(ids_s, ((0, 0), (0, wb - w), (0, 0)),
+                        constant_values=-1)
         wlen = np.pad(np.asarray(wlen), (0, wb - w))
-    score, back = _viterbi_device(jnp.asarray(ids_e), jnp.asarray(lp_ext),
-                                  jnp.asarray(wlen))
-    back = np.asarray(back)            # [L, W] best piece length - 1
-    score_np = np.asarray(score)
+    final_d, back_d = _viterbi_device(
+        jnp.asarray(ids_up), jnp.asarray(lp_ext), jnp.asarray(wlen))
+    final_np, back = jax.device_get((final_d, back_d))
     ids_s_np = ids_s                   # [L, W, K]
     out = []
     final = np.zeros(table.shape[0])
     for w_i in range(table.shape[0]):
         n_w = int(wlen[w_i])
-        final[w_i] = score_np[n_w - 1, w_i] if n_w > 0 else 0.0
+        final[w_i] = final_np[w_i] if n_w > 0 else 0.0
         if n_w > 0 and not np.isfinite(final[w_i]):
             if return_scores:          # caller handles unsegmentable
                 out.append([])

@@ -114,6 +114,74 @@ int64_t shred_ws_chunk_dedup(const uint8_t* data, int64_t n,
   return n_uniq;
 }
 
+// Fused marker-word splitting + dedup for the unigram encoder: one
+// pass over NORMALIZED bytes (shred_normalize output, where the
+// U+2581 marker E2 96 81 replaces whitespace) replaces the Python
+// split-per-line/split-per-marker word loop.  Words are maximal runs
+// delimited by '\n' or the exact 3-byte marker sequence; the implicit
+// marker prefix every word carries is NOT part of the returned span
+// (the caller prepends it when materializing the few UNIQUE words).
+//
+// Writes inverse[i] = dense unique id of word i (first-occurrence
+// order), uniq_off[j]/uniq_len[j] = unique word j's RAW byte span,
+// *n_words_out = total word count.  Buffers need capacity n/2 + 1
+// (every word consumes >= 1 content byte + >= 1 delimiter byte,
+// except possibly the last).  Returns the number of unique words.
+int64_t shred_marker_word_dedup(const uint8_t* data, int64_t n,
+                                int32_t* inverse, int64_t* uniq_off,
+                                int32_t* uniq_len, int64_t* n_words_out) {
+  auto is_marker = [&](int64_t k) {
+    return k + 2 < n && data[k] == 0xE2 && data[k + 1] == 0x96 &&
+           data[k + 2] == 0x81;
+  };
+  // count words for table sizing (delimiter transitions)
+  int64_t est = 0;
+  {
+    bool in_word = false;
+    for (int64_t k = 0; k < n;) {
+      if (data[k] == '\n') { in_word = false; k++; }
+      else if (is_marker(k)) { in_word = false; k += 3; }
+      else { est += !in_word; in_word = true; k++; }
+    }
+  }
+  size_t cap = 16;
+  while (cap < (size_t)est * 2 + 16) cap <<= 1;
+  std::vector<int32_t> table(cap, 0);  // slot -> unique id + 1
+  const size_t mask = cap - 1;
+  int64_t n_uniq = 0, n_words = 0;
+  int64_t i = 0;
+  while (i < n) {
+    if (data[i] == '\n') { i++; continue; }
+    if (is_marker(i)) { i += 3; continue; }
+    int64_t j = i;
+    while (j < n && data[j] != '\n' && !is_marker(j)) j++;
+    const int64_t len = j - i;
+    const uint8_t* p = data + i;
+    size_t slot = (size_t)(shred::fnv1a64(p, (size_t)len) & mask);
+    for (;;) {
+      int32_t u = table[slot];
+      if (u == 0) {
+        table[slot] = (int32_t)(n_uniq + 1);
+        uniq_off[n_uniq] = i;
+        uniq_len[n_uniq] = (int32_t)len;
+        inverse[n_words] = (int32_t)n_uniq;
+        n_uniq++;
+        break;
+      }
+      if (uniq_len[u - 1] == (int32_t)len &&
+          std::memcmp(data + uniq_off[u - 1], p, (size_t)len) == 0) {
+        inverse[n_words] = u - 1;
+        break;
+      }
+      slot = (slot + 1) & mask;
+    }
+    n_words++;
+    i = j;
+  }
+  *n_words_out = n_words;
+  return n_uniq;
+}
+
 // Expand per-unique-chunk id runs back to the full chunk stream:
 // out = concat over chunks i of ids_u[uoff[inverse[i]] ..
 // uoff[inverse[i] + 1]).  The numpy repeat-gather formulation of this

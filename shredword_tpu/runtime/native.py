@@ -135,6 +135,11 @@ def _declare(L: ctypes.CDLL) -> None:
                                        ctypes.c_void_p,
                                        ctypes.POINTER(i64)]
     L.shred_ws_chunk_dedup.restype = i64
+    L.shred_marker_word_dedup.argtypes = [ctypes.c_void_p, i64,
+                                          ctypes.c_void_p, ctypes.c_void_p,
+                                          ctypes.c_void_p,
+                                          ctypes.POINTER(i64)]
+    L.shred_marker_word_dedup.restype = i64
     L.shred_expand_ids.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                    ctypes.c_void_p, i64, ctypes.c_void_p]
     L.shred_expand_ids.restype = i64
@@ -492,6 +497,31 @@ def ws_chunk_dedup(data) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
                                    _ptr(uniq_off), _ptr(uniq_len),
                                    ctypes.byref(n_chunks))
     return (inverse[:n_chunks.value].copy(), uniq_off[:u].copy(),
+            uniq_len[:u].copy())
+
+
+def marker_word_dedup(data) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fused marker-word splitting + dedup over NORMALIZED bytes
+    (csrc/dedup.cpp shred_marker_word_dedup): words are runs delimited
+    by '\\n' or the 3-byte U+2581 marker.  Returns (inverse
+    int32[n_words]; uniq_off int64[u] / uniq_len int32[u] — each
+    unique word's RAW span, marker prefix not included)."""
+    arr = np.ascontiguousarray(np.frombuffer(data, np.uint8)
+                               if isinstance(data, (bytes, bytearray))
+                               else data, np.uint8)
+    n = len(arr)
+    if n == 0:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int64),
+                np.zeros(0, np.int32))
+    cap = n // 2 + 1
+    inverse = np.empty(cap, np.int32)
+    uniq_off = np.empty(cap, np.int64)
+    uniq_len = np.empty(cap, np.int32)
+    n_words = ctypes.c_int64(0)
+    u = lib().shred_marker_word_dedup(_ptr(arr), n, _ptr(inverse),
+                                      _ptr(uniq_off), _ptr(uniq_len),
+                                      ctypes.byref(n_words))
+    return (inverse[:n_words.value].copy(), uniq_off[:u].copy(),
             uniq_len[:u].copy())
 
 
