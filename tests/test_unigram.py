@@ -332,3 +332,52 @@ def test_sharded_unigram_trainer_end_to_end(tmp_path, monkeypatch):
     assert t2.pieces == t1.pieces
     np.testing.assert_allclose(t2.log_probs, t1.log_probs,
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------
+# native marker-word dedup (the encode fast path)
+# ---------------------------------------------------------------------
+
+def test_marker_word_dedup_matches_python_split():
+    """shred_marker_word_dedup reproduces the Python
+    split-lines/split-markers word stream exactly (incl. dedup order,
+    partial marker bytes treated as content, empty segments skipped)."""
+    texts = [
+        "hello world hello",
+        "a  b\n\nc a",
+        "",
+        "   ",
+        "one\ntwo three\ntwo",
+        "x" * 100 + " y " + "x" * 100,
+        "café naïve café",     # multibyte content
+    ]
+    for text in texts:
+        norm = native.normalize(text.encode())
+        inverse, uoff, ulen = native.marker_word_dedup(norm)
+        nb = bytes(norm)
+        # oracle: the Python loop the native pass replaces
+        want = []
+        for line in nb.split(b"\n"):
+            for raw in line.split(MARKER):
+                if raw:
+                    want.append(MARKER + raw)
+        got = [MARKER + nb[o:o + l]
+               for o, l in zip(uoff.tolist(), ulen.tolist())]
+        stream = [got[i] for i in inverse.tolist()]
+        assert stream == want, text
+        assert len(got) == len(dict.fromkeys(want))  # dense unique ids
+
+
+def test_unigram_encode_array_matches_encode(tmp_path):
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("the cat sat on the mat \n" * 50)
+    t = UnigramTrainer(target_vocab_size=30, seed_size=200,
+                       max_word_len=16, backend="cpu")
+    t.load_corpus(str(corpus))
+    t.train()
+    t.save(str(tmp_path / "u.model"))
+    tok = UnigramTokenizer.load(str(tmp_path / "u.model"))
+    text = "the cat sat on the mat the cat"
+    ids_a = tok.encode_array(text)
+    assert tok.encode(text) == ids_a.tolist()
+    assert tok.decode(ids_a) == text
