@@ -131,6 +131,56 @@ def _run_workers(tmp_path, worker_src, n_procs, timeout=420):
     return outs
 
 
+_WORKER_UNI = r"""
+import os, sys
+import numpy as np
+
+rank = int(sys.argv[1])
+port = sys.argv[2]
+out = sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from shredword_tpu.parallel import multihost
+from shredword_tpu.models.unigram import UnigramTrainer
+
+multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=2, process_id=rank)
+assert jax.process_count() == 2, jax.process_count()
+mesh = multihost.global_mesh()
+
+import tempfile
+text = ("the cat sat on the mat " * 30 + "\n" +
+        "a cat and a hat " * 30 + "\n") * 3
+with tempfile.NamedTemporaryFile("w", suffix=".txt") as f:
+    f.write(text)
+    f.flush()
+    t = UnigramTrainer(target_vocab_size=40, seed_size=500,
+                       max_word_len=16, num_em_rounds=2, mesh=mesh)
+    t.load_corpus(f.name)
+    n = t.train()
+assert n <= 40 and len(t.pieces) == n
+
+blob = b"|".join(t.pieces)
+np.save(out, np.concatenate(
+    [np.frombuffer(blob, np.uint8).astype(np.float64), t.log_probs]))
+print("rank", rank, "ok", n)
+"""
+
+
+def test_two_process_sharded_unigram(tmp_path):
+    """2 OS processes x 2 devices: UnigramTrainer(mesh=...) trains over
+    a real jax.distributed group; the EM is replicated-deterministic
+    (identical pieces AND log probs on every rank)."""
+    outs = _run_workers(tmp_path, _WORKER_UNI, 2)
+    a, b = np.load(outs[0]), np.load(outs[1])
+    np.testing.assert_array_equal(a, b)
+
+
 def test_four_process_flat_engine(tmp_path):
     """4 OS processes x 2 devices: the sharded FLAT engine across a
     real jax.distributed group, replicated results identical on every
