@@ -353,6 +353,7 @@ class UnigramTokenizer:
         self._index = {p: i for i, p in enumerate(pieces)}
         self._max_len = max((len(p) for p in pieces), default=1)
         self._memo: dict[bytes, list[int]] = {}
+        self._flat: tuple[np.ndarray, np.ndarray] | None = None
 
     @classmethod
     def load(cls, model_path: str) -> "UnigramTokenizer":
@@ -446,6 +447,30 @@ class UnigramTokenizer:
             if len(w) > self.DEVICE_WORD_CAP:
                 self._memo[w] = self.encode_word(w)
 
+    def encode_batch(self, texts: list[str]) -> list[np.ndarray]:
+        """Encode many documents; the device Viterbi sees each DISTINCT
+        word across the whole batch once (shared memo)."""
+        return [self.encode_array(t) for t in texts]
+
+    def decode_bytes(self, ids) -> bytes:
+        """ids -> raw bytes (marker bytes preserved), vectorized via
+        the native piece expansion the BPE decoder uses."""
+        ids = np.asarray(ids, np.int64).reshape(-1)
+        if len(ids) == 0:
+            return b""
+        if self._flat is None:
+            lens = np.fromiter((len(p) for p in self.pieces), np.int64,
+                               len(self.pieces))
+            off = np.zeros(len(self.pieces) + 1, np.int64)
+            np.cumsum(lens, out=off[1:])
+            self._flat = (np.frombuffer(b"".join(self.pieces), np.uint8),
+                          off)
+        flat, off = self._flat
+        if (ids < 0).any() or (ids >= len(self.pieces)).any():
+            raise EncodeError("invalid piece id in decode")
+        total = int((off[ids + 1] - off[ids]).sum())
+        return native.expand_bytes(flat, off, ids.astype(np.int32), total)
+
     def decode(self, ids) -> str:
-        data = b"".join(self.pieces[i] for i in ids)
+        data = self.decode_bytes(ids)
         return data.replace(_MARKER, b" ").decode("utf-8", "replace").strip()
