@@ -281,10 +281,14 @@ def forward_backward(table: np.ndarray, wlen: np.ndarray,
     rounds and prune rounds reuse one executable instead of recompiling
     as the piece set shrinks.
     """
-    ids_s, ids_e, lp_ext = _tables(table, logp)
     if backend == "cpu":
+        ids_s, ids_e, lp_ext = _tables(table, logp)
         return _fb_numpy(ids_s, ids_e, lp_ext, wlen,
                          wcount.astype(np.float64), n_pieces)
+    # device path derives end-indexed quantities on device: no host
+    # ids_e materialization, no second table upload
+    ids_s = np.transpose(table, (1, 0, 2))
+    lp_ext = np.concatenate([logp, [-np.inf]]).astype(np.float32)
     w = table.shape[0]
     wb = _pow2(w)
     nb = _pow2(n_pieces)
