@@ -268,10 +268,12 @@ def measure_encode() -> dict:
     tpu_mbs = _best_mbs(lambda: tok.encode_array(text), nbytes)
 
     # tpu batch encode: the text split into document-sized pieces,
-    # shape-bucketed (steady state does not recompile)
+    # shape-bucketed (steady state does not recompile); the array API
+    # is the bulk-pipeline path (no per-id Python list boxing)
     docs = [text[i:i + 65536] for i in range(0, len(text), 65536)]
-    tpu_batch = tok.encode_batch(docs)       # warm-up: compile
-    tpu_batch_mbs = _best_mbs(lambda: tok.encode_batch(docs), nbytes)
+    tpu_batch = tok.encode_batch_arrays(docs)   # warm-up: compile
+    tpu_batch_mbs = _best_mbs(lambda: tok.encode_batch_arrays(docs),
+                              nbytes)
     # per-doc splits re-join to the same stream modulo document-boundary
     # merges; verify exact per-doc round trips instead
     assert "".join(tok.decode(d) for d in tpu_batch) == "".join(docs)

@@ -355,6 +355,18 @@ class Tokenizer:
         chunk ownership afterwards."""
         if self.backend != "tpu" or self.special_tokens or not texts:
             return [self.encode(t, allowed_special) for t in texts]
+        return [g.tolist()
+                for g in self.encode_batch_arrays(texts, allowed_special)]
+
+    def encode_batch_arrays(self, texts: list[str],
+                            allowed_special="none_raise"
+                            ) -> list[np.ndarray]:
+        """encode_batch returning int32 numpy arrays — skips the
+        per-id Python list materialization (2.3M PyLong boxes per 4 MB
+        of text); use for bulk pipelines, ids feed decode directly."""
+        if self.backend != "tpu" or self.special_tokens or not texts:
+            return [np.asarray(self.encode(t, allowed_special), np.int32)
+                    for t in texts]
         from .ops import encode_ops
         if not self.pattern:
             # vectorized whitespace chunking across the whole batch:
@@ -371,10 +383,9 @@ class Tokenizer:
                 np.cumsum([len(x) for x in lens_per], out=bounds[1:])
                 flat = (np.concatenate(arrs) if arrs
                         else np.zeros(0, np.uint8))
-                groups = encode_ops.encode_stream(
+                return encode_ops.encode_stream(
                     flat, lens, self.merges, 256 + len(self.merges),
                     bounds, self._table)
-                return [g.tolist() for g in groups]
         chunks: list[bytes] = []
         n_chunks_per_text = []
         for t in texts:
@@ -382,10 +393,10 @@ class Tokenizer:
             chunks.extend(c)
             n_chunks_per_text.append(len(c))
         if not chunks:
-            return [[] for _ in texts]
+            return [np.zeros(0, np.int32) for _ in texts]
         bounds = np.zeros(len(texts) + 1, np.int64)
         np.cumsum(n_chunks_per_text, out=bounds[1:])
-        return [g.tolist() for g in self._encode_groups_tpu(chunks, bounds)]
+        return list(self._encode_groups_tpu(chunks, bounds))
 
     # ------------------------------------------------------------------
     # decode
