@@ -304,6 +304,14 @@ def measure_encode_kernel(tok, text: str) -> dict:
     lens_u = ulen.astype(np.int64)
     off_u = np.zeros(len(lens_u), np.int64)
     np.cumsum(lens_u[:-1], out=off_u[1:])
+    if int(lens_u.max(initial=0)) > encode_ops.MAX_TW_LEN:
+        # the real encode path falls back to the splice path here
+        # (encode_ops.encode_ws_text); a kernel-only number from the
+        # [L, W] block would be meaningless (and _encode_block's uint8
+        # length vector would wrap lengths > 255)
+        return {"kern_mbs": float("nan"), "link_rt_ms": float("nan"),
+                "uniq_chunks": len(lens_u),
+                "uniq_bytes": int(lens_u.sum())}
     src = np.repeat(uoff_b, lens_u) + (
         np.arange(int(lens_u.sum()), dtype=np.int64)
         - np.repeat(off_u, lens_u))

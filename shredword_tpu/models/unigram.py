@@ -229,7 +229,10 @@ class UnigramTrainer:
         lp = np.asarray(logp, np.float32)
         total = np.zeros(len(pieces), np.float64)
         ll = 0.0
-        use_device = self.config.backend != "cpu"
+        # an explicit mesh is its own opt-in and overrides the backend
+        # default: the sharded FB is plain XLA and runs on any backend
+        use_device = (self.config.backend != "cpu"
+                      or self.mesh is not None)
         if use_device and self.mesh is None:
             # same routing rule as the BPE engines (models/bpe.py
             # _interpret_ok): without a TPU the XLA lattice scan is ~15x
@@ -384,15 +387,6 @@ class UnigramTokenizer:
             ids.append(pid)
         return ids[::-1]
 
-    def _words_of(self, text: str) -> list[bytes]:
-        norm = native.normalize(text.encode())
-        words: list[bytes] = []
-        for line in norm.split(b"\n"):
-            for raw in line.split(_MARKER):
-                if raw:
-                    words.append(_MARKER + raw)
-        return words
-
     def encode(self, text: str) -> list[int]:
         return self.encode_array(text).tolist()
 
@@ -447,9 +441,15 @@ class UnigramTokenizer:
             if len(w) > self.DEVICE_WORD_CAP:
                 self._memo[w] = self.encode_word(w)
 
-    def encode_batch(self, texts: list[str]) -> list[np.ndarray]:
+    def encode_batch(self, texts: list[str]) -> list[list[int]]:
         """Encode many documents; the device Viterbi sees each DISTINCT
-        word across the whole batch once (shared memo)."""
+        word across the whole batch once (shared memo).  Returns lists
+        of ints — the BPE Tokenizer.encode_batch contract."""
+        return [a.tolist() for a in self.encode_batch_arrays(texts)]
+
+    def encode_batch_arrays(self, texts: list[str]) -> list[np.ndarray]:
+        """encode_batch returning int32 numpy arrays (bulk-pipeline
+        shape, mirrors Tokenizer.encode_batch_arrays)."""
         return [self.encode_array(t) for t in texts]
 
     def decode_bytes(self, ids) -> bytes:

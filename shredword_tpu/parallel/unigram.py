@@ -40,11 +40,14 @@ def make_sharded_table(mesh: Mesh, table: np.ndarray, wlen: np.ndarray,
                        wcount: np.ndarray, axis: str = "data"
                        ) -> unigram_ops.DeviceTable:
     """Upload one slab's start-indexed table sharded over the word
-    axis.  W pads to a power of two >= n_shards (pad words have
+    axis.  W pads to a power of two >= n_shards, rounded up to a
+    multiple of the shard count so non-power-of-two meshes (e.g. 3 or
+    6 devices) satisfy the sharding divisibility rule (pad words have
     wlen 0 / wcount 0 / all-absent cells, contributing nothing)."""
     n_shards = mesh.devices.size
     w = table.shape[0]
     wb = unigram_ops._pow2(max(w, n_shards))
+    wb = -(-wb // n_shards) * n_shards
     ids_s = np.transpose(table, (1, 0, 2))          # [L, W, K]
     if wb != w:
         ids_s = np.pad(ids_s, ((0, 0), (0, wb - w), (0, 0)),

@@ -381,3 +381,43 @@ def test_unigram_encode_array_matches_encode(tmp_path):
     ids_a = tok.encode_array(text)
     assert tok.encode(text) == ids_a.tolist()
     assert tok.decode(ids_a) == text
+
+
+def test_sharded_unigram_non_pow2_shards(tmp_path):
+    """Non-power-of-two shard counts must not trip the sharding
+    divisibility rule (W pads to a multiple of the shard count), and an
+    explicit mesh overrides backend='cpu' (review findings r4)."""
+    from shredword_tpu import parallel
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("the cat sat on the mat \n" * 40)
+
+    t3 = UnigramTrainer(target_vocab_size=30, seed_size=200,
+                        max_word_len=16, mesh=parallel.make_mesh(3))
+    t3.load_corpus(str(corpus))
+    assert t3.train() == 30
+
+    t4 = UnigramTrainer(target_vocab_size=30, seed_size=200,
+                        max_word_len=16, backend="cpu",
+                        mesh=parallel.make_mesh(4))
+    t4.load_corpus(str(corpus))
+    assert t4.train() == 30
+    assert t4._slabs is not None          # the sharded EM actually ran
+
+
+def test_unigram_encode_batch_contract(tmp_path):
+    """encode_batch returns list[list[int]] (the BPE Tokenizer
+    contract); encode_batch_arrays returns int32 numpy arrays."""
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("the cat sat on the mat \n" * 40)
+    t = UnigramTrainer(target_vocab_size=30, seed_size=200,
+                       max_word_len=16, backend="cpu")
+    t.load_corpus(str(corpus))
+    t.train()
+    t.save(str(tmp_path / "u.model"))
+    tok = UnigramTokenizer.load(str(tmp_path / "u.model"))
+    lists = tok.encode_batch(["the cat", "sat"])
+    arrays = tok.encode_batch_arrays(["the cat", "sat"])
+    assert all(isinstance(x, list) for x in lists)
+    assert all(isinstance(i, int) for x in lists for i in x)
+    assert all(isinstance(a, np.ndarray) for a in arrays)
+    assert [a.tolist() for a in arrays] == lists
