@@ -680,7 +680,15 @@ def giant_train(tokens: np.ndarray, word_id: np.ndarray,
     problem is outside the engine's envelope (vocab > 32768, a word
     longer than max_word_len, unk_id >= 256, more than
     MAX_NC * chunk_width unique words — 16.7M at the default width)."""
-    cw = C if chunk_width is None else chunk_width
+    if chunk_width is None:
+        # measured r4 (1 GB, 3.44M words, v5e): cw=2048 -> 105 s vs
+        # 1024 -> 129 s (the per-chunk fixed cost dominates GB-scale
+        # sweeps); the r3 16 MB sweep showed 2048 SLOWER there
+        # (0.58 vs 0.36 ms/merge), so widen only for large word sets
+        n_words_est = int(word_id[-1]) + 1 if len(word_id) else 0
+        cw = 2 * C if n_words_est > 1_500_000 else C
+    else:
+        cw = chunk_width
     if cw % MXU_C:
         raise ValueError(f"chunk_width must be a multiple of {MXU_C}")
     v = 256 + target_merges
