@@ -73,9 +73,10 @@ C = 1024           # default chunk DMA width (multiple of MXU_C).  Wider
                    # 512-lane sub-slices.  Swept on a real v5e chip
                    # (ms/merge, 32k vocab): 16 MB corpus 512->0.42,
                    # 1024->0.36, 2048->0.58 (r3); 1 GB corpus r4 re-sweep
-                   # 1024->7.5, 2048->6.1 (~20% for 2048 at GB scale —
-                   # not enough to flip the default given the 16 MB
-                   # regression; pass chunk_width=2048 for GB corpora).
+                   # 1024->7.5, 2048->6.1, 4096->18.9 — 2048 is the
+                   # GB-scale optimum, auto-selected by giant_train
+                   # above 1.5M unique words (merge sequences are
+                   # width-independent: 17242 at every width).
                    # 1024 also avoids a Mosaic compile blow-up seen at
                    # 512 with NC=256 (~460 s).
                    # Tunable per corpus via giant_train(chunk_width=...).
