@@ -592,8 +592,13 @@ class BPETrainer:
             if out is None:
                 return None
             merges, freqs, final_fn = out
+        # hist_train routes v > 4096 to the giant HBM-table engine
+        # internally (ops/bpe_hist.py hist_train); report the engine that
+        # actually ran, not the entry path.
+        routed = "giant" if -(-(256 + target) // 128) * 128 > 4096 \
+            else "hist"
         return self._finish_table_engine(merges, freqs, final_fn, n_prev,
-                                         t.elapsed, "hist")
+                                         t.elapsed, routed)
 
     # ------------------------------------------------------------------
     # results

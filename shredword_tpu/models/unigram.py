@@ -356,7 +356,8 @@ class UnigramTokenizer:
         self._index = {p: i for i, p in enumerate(pieces)}
         self._max_len = max((len(p) for p in pieces), default=1)
         self._memo: dict[bytes, list[int]] = {}
-        self._flat: tuple[np.ndarray, np.ndarray] | None = None
+        # (flat bytes, offsets, n_pieces-at-build) — see decode_bytes
+        self._flat: tuple[np.ndarray, np.ndarray, int] | None = None
 
     @classmethod
     def load(cls, model_path: str) -> "UnigramTokenizer":
@@ -458,14 +459,17 @@ class UnigramTokenizer:
         ids = np.asarray(ids, np.int64).reshape(-1)
         if len(ids) == 0:
             return b""
-        if self._flat is None:
+        # cache keyed on the piece-table size so a mutated/extended
+        # `pieces` list invalidates it (ADVICE r4: a stale cache would
+        # decode wrong bytes or raise a spurious EncodeError)
+        if self._flat is None or self._flat[2] != len(self.pieces):
             lens = np.fromiter((len(p) for p in self.pieces), np.int64,
                                len(self.pieces))
             off = np.zeros(len(self.pieces) + 1, np.int64)
             np.cumsum(lens, out=off[1:])
             self._flat = (np.frombuffer(b"".join(self.pieces), np.uint8),
-                          off)
-        flat, off = self._flat
+                          off, len(self.pieces))
+        flat, off = self._flat[:2]
         if (ids < 0).any() or (ids >= len(self.pieces)).any():
             raise EncodeError("invalid piece id in decode")
         total = int((off[ids + 1] - off[ids]).sum())

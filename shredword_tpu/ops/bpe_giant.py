@@ -686,7 +686,11 @@ def giant_train(tokens: np.ndarray, word_id: np.ndarray,
         # 1024 -> 129 s (the per-chunk fixed cost dominates GB-scale
         # sweeps); the r3 16 MB sweep showed 2048 SLOWER there
         # (0.58 vs 0.36 ms/merge), so widen only for large word sets
-        n_words_est = int(word_id[-1]) + 1 if len(word_id) else 0
+        # word_id.max() rather than word_id[-1]: callers normally pass
+        # sorted word ids, but the width choice should not silently
+        # degrade for an unsorted caller (ADVICE r4; perf-only either
+        # way — merges are width-independent)
+        n_words_est = int(word_id.max()) + 1 if len(word_id) else 0
         cw = 2 * C if n_words_est > 1_500_000 else C
     else:
         cw = chunk_width

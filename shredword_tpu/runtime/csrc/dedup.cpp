@@ -88,6 +88,7 @@ int64_t shred_ws_chunk_dedup(const uint8_t* data, int64_t n,
     int64_t j = i + 1;
     while (j < n && is_ws(data[j]) == ws) j++;
     const int64_t len = j - i;
+    if (len > INT32_MAX) return -1;  // uniq_len is int32; refuse, don't wrap
     const uint8_t* p = data + i;
     size_t slot = (size_t)(shred::fnv1a64(p, (size_t)len) & mask);
     for (;;) {
@@ -156,6 +157,7 @@ int64_t shred_marker_word_dedup(const uint8_t* data, int64_t n,
     int64_t j = i;
     while (j < n && data[j] != '\n' && !is_marker(j)) j++;
     const int64_t len = j - i;
+    if (len > INT32_MAX) return -1;  // uniq_len is int32; refuse, don't wrap
     const uint8_t* p = data + i;
     size_t slot = (size_t)(shred::fnv1a64(p, (size_t)len) & mask);
     for (;;) {

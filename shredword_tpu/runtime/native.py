@@ -496,6 +496,9 @@ def ws_chunk_dedup(data) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     u = lib().shred_ws_chunk_dedup(_ptr(arr), n, _ptr(inverse),
                                    _ptr(uniq_off), _ptr(uniq_len),
                                    ctypes.byref(n_chunks))
+    if u < 0:
+        raise ValueError("a single delimiter-free run exceeds 2 GiB "
+                         "(int32 chunk-length limit)")
     return (inverse[:n_chunks.value].copy(), uniq_off[:u].copy(),
             uniq_len[:u].copy())
 
@@ -521,6 +524,9 @@ def marker_word_dedup(data) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     u = lib().shred_marker_word_dedup(_ptr(arr), n, _ptr(inverse),
                                       _ptr(uniq_off), _ptr(uniq_len),
                                       ctypes.byref(n_words))
+    if u < 0:
+        raise ValueError("a single delimiter-free word exceeds 2 GiB "
+                         "(int32 word-length limit)")
     return (inverse[:n_words.value].copy(), uniq_off[:u].copy(),
             uniq_len[:u].copy())
 
