@@ -414,6 +414,53 @@ def measure_presplit() -> dict:
             "x": t_regex / t_native}
 
 
+def measure_daemon() -> dict:
+    """Warm-daemon CLI workflow (BASELINE "Process startup"): after one
+    warming call, a FRESH client process completes a train command in
+    ~client-overhead + device time, vs minutes for a cold standalone
+    process through the tunnel.  Uses a 2 MB corpus slice at vocab 400
+    so the second call's device work is sub-second."""
+    import subprocess
+    import sys as _sys
+
+    from shredword_tpu import daemon
+
+    small = "/tmp/shred_bench/daemon_corpus.txt"
+    if not os.path.exists(small):
+        with open(CORPUS) as f, open(small, "w") as g:
+            g.write(f.read(2 * 10**6))
+    sock = "/tmp/shred_bench/daemon.sock"
+    try:
+        daemon.stop(sock)
+    except Exception:
+        pass
+    if not daemon.start(sock, wait=120.0, idle_timeout=900.0):
+        raise RuntimeError("daemon failed to start")
+    argv = ["train", "--corpus", small, "--model",
+            "/tmp/shred_bench/daemon.model", "--vocab-size", "400",
+            "--min-pair-freq", "2"]
+    try:
+        t0 = time.perf_counter()
+        r = daemon.request(argv, socket_path=sock)   # warming call
+        warm_s = time.perf_counter() - t0
+        if r is None or r["rc"] != 0:
+            raise RuntimeError(f"daemon train failed: {r}")
+        # the user-visible metric: a fresh client process, warm daemon
+        env = dict(os.environ)
+        env["SHREDWORD_DAEMON"] = "1"
+        env["SHREDWORD_DAEMON_SOCKET"] = sock
+        t0 = time.perf_counter()
+        p = subprocess.run([_sys.executable, "-m", "shredword_tpu"]
+                           + argv, env=env, capture_output=True,
+                           text=True, cwd="/root/repo")
+        client_s = time.perf_counter() - t0
+        if p.returncode != 0:
+            raise RuntimeError(f"client train failed: {p.stderr[-500:]}")
+        return {"first_call_s": warm_s, "fresh_client_s": client_s}
+    finally:
+        daemon.stop(sock)
+
+
 def main() -> None:
     make_corpus(CORPUS)
     raw_bytes = os.path.getsize(CORPUS)
@@ -483,6 +530,17 @@ def main() -> None:
             f"{g['ms_per_merge']:.2f} ms/merge\n")
     except Exception as e:
         sys.stderr.write(f"[bench] 32k-vocab side-metric failed: {e}\n")
+    try:
+        with _alarm(900):
+            d = measure_daemon()
+        sys.stderr.write(
+            f"[bench] cli daemon: first (warming) call "
+            f"{d['first_call_s']:.1f}s; fresh client process on the "
+            f"warm daemon {d['fresh_client_s']:.2f}s (2 MB/vocab-400 "
+            f"train end-to-end — the reference-style per-command "
+            f"workflow)\n")
+    except Exception as e:
+        sys.stderr.write(f"[bench] daemon side-metric failed: {e}\n")
     print(json.dumps({
         "metric": "train_mb_s",
         "value": round(ours, 2),

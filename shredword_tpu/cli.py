@@ -9,11 +9,18 @@ trainer.py:6-12); this is a greenfield subsystem per SURVEY.md §5
   decode   token ids -> text
   convert  between the binary-triple and "shredword v1" text formats
   info     summarize a model file
+  daemon   warm-process server so repeat commands skip JIT/startup cost
+
+With ``SHREDWORD_DAEMON=1`` every command routes through the daemon
+(auto-starting it), making the Nth CLI invocation as cheap as the
+reference's compiled-.so workflow — see daemon.py for the measured
+rationale.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -73,6 +80,21 @@ def _write(path: str, text: str) -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    # Opt-in daemon routing: run the command in the warm server process
+    # (auto-started) instead of paying per-process JIT/startup cost.
+    # The server itself calls main() with _SHREDWORD_IN_DAEMON set, so
+    # this cannot recurse; the daemon subcommand always runs locally.
+    if (os.environ.get("SHREDWORD_DAEMON") == "1"
+            and not os.environ.get("_SHREDWORD_IN_DAEMON")
+            and argv[:1] != ["daemon"]):
+        from . import daemon
+        rc = daemon.run_client(argv)
+        if rc is not None:
+            return rc
+        print("[warn] daemon unreachable; running locally",
+              file=sys.stderr)
+
     ap = argparse.ArgumentParser(prog="shredword_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -107,7 +129,36 @@ def main(argv: list[str] | None = None) -> int:
                     help="data-parallel word shards over the device "
                          "mesh (0 = single device)")
 
+    pda = sub.add_parser(
+        "daemon", help="manage the warm-process command server")
+    pda.add_argument("action",
+                     choices=("start", "stop", "status", "serve"))
+    pda.add_argument("--socket", default=None,
+                     help="unix socket path (default: "
+                          "$SHREDWORD_DAEMON_SOCKET or per-uid /tmp)")
+    pda.add_argument("--idle-timeout", type=float, default=3600.0,
+                     help="seconds without a request before the server "
+                          "exits (default 1h)")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "daemon":
+        from . import daemon
+        if args.action == "serve":            # foreground server loop
+            return daemon.serve(args.socket,
+                                idle_timeout=args.idle_timeout)
+        if args.action == "start":
+            ok = daemon.start(args.socket,
+                              idle_timeout=args.idle_timeout)
+            print("daemon running" if ok else "daemon failed to start")
+            return 0 if ok else 1
+        if args.action == "stop":
+            ok = daemon.stop(args.socket)
+            print("daemon stopped" if ok else "no daemon running")
+            return 0 if ok else 1
+        ok = daemon.ping(args.socket)
+        print("daemon running" if ok else "no daemon running")
+        return 0 if ok else 1
 
     if args.cmd == "train":
         from .models.bpe import BPETrainer
