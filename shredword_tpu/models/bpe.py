@@ -271,35 +271,16 @@ class BPETrainer:
             return 0
 
         if self.mesh is not None or cfg.shards > 1:
-            return self._train_sharded(tokens, word_id, wcount, target)
+            tokens, word_id, wcount, n_prev = self._replay_for_resume(
+                tokens, word_id, wcount)
+            return self._train_sharded(tokens, word_id, wcount, target,
+                                       n_prev)
 
         import jax
 
-        n_prev = len(self._merges)
-        if n_prev:
-            # checkpoint resume (ANY device engine): replay the learned
-            # merges onto the fresh corpus with the native encoder
-            # (exact — same rank-order, left-to-right overlap semantics
-            # as training), then continue with re-counted pairs,
-            # mirroring the reference's bpe_init-after-merge
-            # resumability (bpe.cpp:171-185).  The table engines resume
-            # natively: their merge counters seed at n_prev so new ids
-            # continue at 256 + n_prev (hist_train docstring).
-            lengths = np.bincount(word_id, minlength=self._arrays.n_words)
-            offsets = np.zeros(len(lengths) + 1, np.int64)
-            np.cumsum(lengths, out=offsets[1:])
-            enc = native.NativeEncoder(self._merges)
-            tokens, out_off = enc.apply_merges(tokens, offsets)
-            enc.free()
-            word_id = np.repeat(
-                np.arange(self._arrays.n_words, dtype=np.int32),
-                np.diff(out_off))
-            counts = np.minimum(self._arrays.counts,
-                                np.iinfo(np.int32).max).astype(np.int32)
-            wcount = counts[word_id]
-            n = len(tokens)
-            log.info("Resumed from %d merges; replayed corpus has %d "
-                     "tokens", n_prev, n)
+        tokens, word_id, wcount, n_prev = self._replay_for_resume(
+            tokens, word_id, wcount)
+        n = len(tokens)
 
         # Auto engine selection never picks an interpret-mode Pallas
         # kernel: with no TPU the fused engines emulate the kernel
@@ -383,21 +364,47 @@ class BPETrainer:
                  n_merges - n_prev, t.elapsed)
         return n_merges - n_prev
 
-    def _train_sharded(self, tokens, word_id, wcount, target) -> int:
+    def _replay_for_resume(self, tokens, word_id, wcount):
+        """Checkpoint resume (ANY device engine, sharded or not):
+        replay the learned merges onto the fresh corpus with the native
+        encoder (exact — same rank-order, left-to-right overlap
+        semantics as training), then continue with re-counted pairs,
+        mirroring the reference's bpe_init-after-merge resumability
+        (bpe.cpp:171-185).  The device engines resume natively: their
+        merge counters seed at n_prev so new ids continue at
+        256 + n_prev.  Returns (tokens, word_id, wcount, n_prev)."""
+        n_prev = len(self._merges)
+        if not n_prev:
+            return tokens, word_id, wcount, 0
+        lengths = np.bincount(word_id, minlength=self._arrays.n_words)
+        offsets = np.zeros(len(lengths) + 1, np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        enc = native.NativeEncoder(self._merges)
+        tokens, out_off = enc.apply_merges(tokens, offsets)
+        enc.free()
+        word_id = np.repeat(
+            np.arange(self._arrays.n_words, dtype=np.int32),
+            np.diff(out_off))
+        counts = np.minimum(self._arrays.counts,
+                            np.iinfo(np.int32).max).astype(np.int32)
+        wcount = counts[word_id]
+        log.info("Resumed from %d merges; replayed corpus has %d "
+                 "tokens", n_prev, len(tokens))
+        return tokens, word_id, wcount, n_prev
+
+    def _train_sharded(self, tokens, word_id, wcount, target,
+                       n_prev: int = 0) -> int:
         """Data-parallel training over a device mesh (parallel/hist.py
         psum-delta path, falling back to the flat all-gather path).
         Merge sequences are bit-identical to single-device training
-        (tests/test_parallel.py)."""
+        (tests/test_parallel.py).  Resume: the caller has already
+        replayed n_prev merges into `tokens` (_replay_for_resume)."""
         import jax
 
         from ..parallel import (make_mesh, sharded_giant_train,
                                 sharded_hist_train, sharded_train)
 
         cfg = self.config
-        if len(self._merges):
-            raise TrainingError(
-                "sharded training does not support checkpoint resume; "
-                "resume on a single device (shards=0) or retrain")
         mesh = self.mesh if self.mesh is not None else make_mesh(
             cfg.shards)
         n_shards = mesh.devices.size
@@ -417,7 +424,8 @@ class BPETrainer:
                 out = sharded_hist_train(
                     tokens, word_id, counts, mesh=mesh,
                     target_merges=target, unk_id=cfg.unk_id,
-                    min_pair_freq=cfg.min_pair_freq, interpret=interpret)
+                    min_pair_freq=cfg.min_pair_freq, interpret=interpret,
+                    n_prev_merges=n_prev)
             if out is None:
                 # beyond the replicated-table cap: row-sharded giant
                 # table (pure XLA), vocab to 65536
@@ -425,16 +433,20 @@ class BPETrainer:
                 out = sharded_giant_train(
                     tokens, word_id, counts, mesh=mesh,
                     target_merges=target, unk_id=cfg.unk_id,
-                    min_pair_freq=cfg.min_pair_freq)
+                    min_pair_freq=cfg.min_pair_freq,
+                    n_prev_merges=n_prev)
             if out is None:    # vocab/layout outside every table engine
                 engine = "flat"
                 out = sharded_train(
                     tokens, word_id, wcount, mesh=mesh,
                     target_merges=target, unk_id=cfg.unk_id,
-                    min_pair_freq=cfg.min_pair_freq)
+                    min_pair_freq=cfg.min_pair_freq,
+                    n_prev_merges=n_prev)
         merges, freqs = out
-        self._merges = merges.astype(np.int32)
-        self._merge_freqs = freqs.astype(np.int64)
+        self._merges = np.concatenate(
+            [self._merges[:n_prev], merges.astype(np.int32)])
+        self._merge_freqs = np.concatenate(
+            [self._merge_freqs[:n_prev], freqs.astype(np.int64)])
         self._final_tokens = None
         self._final_word_id = None
         self._set_final_replay(self._merges)

@@ -60,7 +60,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.jaxcache import ensure_jax_cache
-from .bpe_hist import PAD, _shift_down, _shift_up
+from .bpe_hist import PAD, _shift_down, _shift_down_k, _shift_up
 
 ensure_jax_cache()
 
@@ -202,27 +202,46 @@ def _mxu_scatter(vals, w, acc_ref, vh: int):
 
 
 def _select_apply_dyn(tt, a, b, new, l_c, L):
-    """_select_and_apply with loop bounds from the per-chunk max word
-    length (greedy left-to-right rule + hole-march compaction)."""
+    """Greedy left-to-right selection + merge + compaction (identical
+    semantics to the reference's non-advancing splice, bpe.cpp:480-482).
+
+    Round-5 rewrite: the original here ran 2*l_c serial VPU passes
+    (an l_c-step select recurrence + an (l_c-1)-step hole march); at GB
+    scale those per-chunk passes were the measured ~3 us/flagged-chunk
+    fixed cost that kept the engine ~10x off the stream roofline.  Now
+    uses the same log-depth closed form as bpe_hist._select_and_apply
+    (log2 L shift-max passes) and a first-hole compaction loop bounded
+    by the actual max matches per word (usually 1) — ~6-10 passes
+    instead of ~30 at L=16.  `l_c` only bounds nothing here anymore;
+    kept in the signature for the callers' slot-loop bound."""
+    del l_c
     cc = tt.shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (L, cc), 0)
     nxt = _shift_up(tt, PAD)
-    m = ((tt == a) & (nxt == b)).astype(jnp.int32)
-
-    def gbody(l, sel):
-        prev = _shift_down(sel, 0)
-        return jnp.where(row == l, m * (1 - prev), sel)
-
-    sel = jax.lax.fori_loop(0, l_c, gbody, jnp.zeros((L, cc), jnp.int32))
+    m = (tt == a) & (nxt == b)
+    x = jnp.where(m, -1, row)             # last non-match row, cumulative
+    s = 1
+    while s < L:
+        x = jnp.maximum(x, _shift_down_k(x, s, -1))
+        s *= 2
+    sel = (m & (((row - x) & 1) == 1)).astype(jnp.int32)
     t2 = tt + sel * (new - tt)
     hole = _shift_down(sel, 0)
+    nhole = jnp.max(jnp.sum(sel, axis=0))
 
-    def hbody(_, carry):
+    def collapse_first_hole(_, carry):
         t2, hole = carry
-        t_dn = _shift_up(t2, PAD)
-        return t2 + hole * (t_dn - t2), _shift_down(hole, 0)
+        hc = hole
+        s = 1
+        while s < L:                      # cumulative OR, hole and below
+            hc = hc | _shift_down_k(hc, s, 0)
+            s *= 2
+        on = hc != 0
+        t2 = jnp.where(on, _shift_up(t2, PAD), t2)
+        hole = jnp.where(on, _shift_up(hole, 0), hole)
+        return t2, hole
 
-    t2, _ = jax.lax.fori_loop(0, jnp.maximum(l_c - 1, 0), hbody, (t2, hole))
+    t2, _ = jax.lax.fori_loop(0, nhole, collapse_first_hole, (t2, hole))
     return t2, sel
 
 
@@ -259,7 +278,11 @@ def _slot_deltas_mxu(tt, sel, ww, new, unk, l_c, vh, dl_ref, dr_ref):
             _mxu_scatter(rv, rw, dr_ref, vh)
         return carry
 
-    jax.lax.fori_loop(0, (l_c + 1) // 2, slot_body, 0)
+    # bound by the ACTUAL max match ordinal in this block (usually 1),
+    # not the worst case l_c/2 — each skipped iteration still costs an
+    # any()-pass, which at GB scale is real per-chunk fixed cost
+    nsl = jnp.minimum(jnp.max(cs * sel), (l_c + 1) // 2)
+    jax.lax.fori_loop(0, nsl, slot_body, 0)
 
 
 # ---------------------------------------------------------------------

@@ -199,10 +199,16 @@ def sharded_giant_train(tokens: np.ndarray, word_id: np.ndarray,
                         target_merges: int, unk_id: int = -1,
                         min_pair_freq: int = 2,
                         max_steps_per_call: int = 256,
-                        axis: str = "data", _cache={}):
+                        axis: str = "data", n_prev_merges: int = 0,
+                        _cache={}):
     """Sharded driver for vocab beyond one chip's table (v <= 65536).
     wcount is per word.  Returns (merges, freqs) or None if the layout
-    does not fit."""
+    does not fit.
+
+    Checkpoint resume: the caller replays ``n_prev_merges`` merges into
+    ``tokens``; the merge counter seeds at n_prev (new = 256 +
+    n_merges) and the embedded init histogram covers the replayed id
+    range.  Only NEW merges are returned."""
     n_shards = mesh.devices.size
     v = 256 + target_merges
     v = -(-v // (128 * n_shards)) * (128 * n_shards)   # whole row shards
@@ -217,10 +223,12 @@ def sharded_giant_train(tokens: np.ndarray, word_id: np.ndarray,
     # into the giant table CREATED SHARDED (a replicated [64k, 64k]
     # would be 17 GB on one chip — it must never materialize whole)
     from jax.sharding import NamedSharding
+    # resume: replayed ids reach 256 + n_prev_merges; cover them all
+    vi = min(v, -(-max(256 + n_prev_merges, 256) // 128) * 128)
     small = bpe_hist.init_hist(
-        bpe_hist.HistCorpus(tw32, c.wcount), jnp.int32(unk_id), v=256)
+        bpe_hist.HistCorpus(tw32, c.wcount), jnp.int32(unk_id), v=vi)
     embed = jax.jit(
-        lambda s: jnp.zeros((v, v), jnp.int32).at[:256, :256].set(s),
+        lambda s: jnp.zeros((v, v), jnp.int32).at[:vi, :vi].set(s),
         out_shardings=NamedSharding(mesh, P(axis, None)))
     hist = embed(small)
     st_merges = jnp.zeros((max(target_merges, 1), 2), jnp.int32)
@@ -233,7 +241,7 @@ def sharded_giant_train(tokens: np.ndarray, word_id: np.ndarray,
             max_steps=max_steps_per_call, axis=axis)
     loop = _cache[key]
     tw, wc, merges, freqs = tw32, c.wcount, st_merges, st_freqs
-    n_merges, done = jnp.int32(0), jnp.bool_(False)
+    n_merges, done = jnp.int32(n_prev_merges), jnp.bool_(False)
     while True:
         n_before = int(n_merges)
         tw, hist, merges, freqs, n_merges, done = loop(
@@ -243,4 +251,5 @@ def sharded_giant_train(tokens: np.ndarray, word_id: np.ndarray,
         if bool(done) or n_after >= target_merges or n_after == n_before:
             break
     n = int(n_merges)
-    return np.asarray(merges)[:n], np.asarray(freqs)[:n]
+    return (np.asarray(merges)[n_prev_merges:n],
+            np.asarray(freqs)[n_prev_merges:n])

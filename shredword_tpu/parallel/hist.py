@@ -130,9 +130,14 @@ def sharded_hist_train(tokens: np.ndarray, word_id: np.ndarray,
                        min_pair_freq: int = 2,
                        max_steps_per_call: int = 512,
                        axis: str = "data", interpret: bool = False,
-                       _cache={}):
+                       n_prev_merges: int = 0, _cache={}):
     """Sharded driver.  wcount is per word.  Returns (merges, freqs)
-    or None if the layout does not fit."""
+    or None if the layout does not fit.
+
+    Checkpoint resume: the caller replays the first ``n_prev_merges``
+    merges into ``tokens`` host-side; the loop's merge counter seeds at
+    n_prev so new ids continue at 256 + n_prev (the loop derives
+    new = 256 + n_merges).  Only NEW merges are returned."""
     # Same per-shard envelope as the single-device while_loop engine
     # (make_merge_step blocks are [L, CHUNK] + dl/dr columns in VMEM —
     # v-independent except the [v, 1] delta columns): v <= 4096, beyond
@@ -150,7 +155,7 @@ def sharded_hist_train(tokens: np.ndarray, word_id: np.ndarray,
         tw=c.tw.astype(jnp.int16), wcount=c.wcount, hist=hist,
         merges=jnp.zeros((max(target_merges, 1), 2), jnp.int32),
         merge_freqs=jnp.zeros(max(target_merges, 1), jnp.int32),
-        n_merges=jnp.int32(0), done=jnp.bool_(False))
+        n_merges=jnp.int32(n_prev_merges), done=jnp.bool_(False))
     key = (train.mesh_key(mesh), v, L, W, target_merges,
            max_steps_per_call, axis, interpret)
     if key not in _cache:
@@ -170,4 +175,5 @@ def sharded_hist_train(tokens: np.ndarray, word_id: np.ndarray,
         if bool(done) or n_after >= target_merges or n_after == n_before:
             break
     n = int(n_merges)
-    return np.asarray(merges)[:n], np.asarray(freqs)[:n]
+    return (np.asarray(merges)[n_prev_merges:n],
+            np.asarray(freqs)[n_prev_merges:n])

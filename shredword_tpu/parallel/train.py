@@ -227,8 +227,13 @@ def sharded_train(tokens: np.ndarray, word_id: np.ndarray,
                   target_merges: int, unk_id: int = -1,
                   min_pair_freq: int = 2,
                   max_steps_per_call: int = 256,
-                  axis: str = "data") -> tuple[np.ndarray, np.ndarray]:
-    """Full sharded training driver.  Returns (merges[M,2], freqs[M])."""
+                  axis: str = "data",
+                  n_prev_merges: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Full sharded training driver.  Returns (merges[M,2], freqs[M]).
+
+    Checkpoint resume: the caller replays ``n_prev_merges`` merges into
+    ``tokens``; the merge counter seeds at n_prev so new ids continue
+    at 256 + n_prev.  Only NEW merges are returned."""
     mesh = mesh or make_mesh()
     n_shards = mesh.devices.size
     sc = shard_corpus(tokens, word_id, wcount, n_shards)
@@ -236,7 +241,7 @@ def sharded_train(tokens: np.ndarray, word_id: np.ndarray,
         corpus=sc,
         merges=jnp.zeros((max(target_merges, 1), 2), jnp.int32),
         merge_freqs=jnp.zeros(max(target_merges, 1), jnp.int32),
-        n_merges=jnp.int32(0),
+        n_merges=jnp.int32(n_prev_merges),
         done=jnp.bool_(False),
     )
     while True:
@@ -248,4 +253,5 @@ def sharded_train(tokens: np.ndarray, word_id: np.ndarray,
         if bool(ts.done) or n_after >= target_merges or n_after == n_before:
             break
     n = int(ts.n_merges)
-    return (np.asarray(ts.merges)[:n], np.asarray(ts.merge_freqs)[:n])
+    return (np.asarray(ts.merges)[n_prev_merges:n],
+            np.asarray(ts.merge_freqs)[n_prev_merges:n])
