@@ -143,8 +143,32 @@ def _local_pair_segments(state: bpe_ops.CorpusState, unk_id):
             jnp.where(live, total, 0).astype(jnp.int32))
 
 
+def _global_best_pair2(ga, gb, gv, min_pair_freq):
+    """2-key variant of _global_best_pair for vocab past PACK_LIMIT
+    (ids >= 2^14 cannot pack into one int32 key; the single-device flat
+    engine makes the same packed/2-key switch in train_loop).  Same lex
+    tie-break: segments sort ascending by (a, b), argmax takes the
+    first maximum."""
+    n = ga.shape[0]
+    a, b, w = jax.lax.sort((ga, gb, gv), num_keys=2)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    diff = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    is_new = jnp.concatenate([jnp.ones(1, bool), diff])
+    is_last = jnp.concatenate([diff, jnp.ones(1, bool)])
+    cumw = jnp.cumsum(w)
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_new, idx, -1))
+    base = jnp.where(seg_start > 0, cumw[jnp.maximum(seg_start - 1, 0)], 0)
+    total = cumw - base
+    ok = is_last & (a != INT32_MAX) & (total >= min_pair_freq)
+    masked = jnp.where(ok, total, 0)
+    best = jnp.argmax(masked)
+    return a[best], b[best], masked[best]
+
+
 def build_sharded_train_loop(mesh: Mesh, *, target_merges: int,
-                             max_steps: int, axis: str = "data"):
+                             max_steps: int, axis: str = "data",
+                             packed: bool = True):
     """Returns a jitted function running up to `max_steps` merges on the
     sharded corpus in a single dispatch."""
 
@@ -160,10 +184,18 @@ def build_sharded_train_loop(mesh: Mesh, *, target_merges: int,
 
         def body_fn(carry):
             st, merges, freqs, n_merges, done, steps = carry
-            lk, lv = _local_pair_segments(st, unk_id)
-            gk = jax.lax.all_gather(lk, axis, tiled=True)
-            gv = jax.lax.all_gather(lv, axis, tiled=True)
-            a, b, cnt_best = _global_best_pair(gk, gv, min_pair_freq)
+            if packed:
+                lk, lv = _local_pair_segments(st, unk_id)
+                gk = jax.lax.all_gather(lk, axis, tiled=True)
+                gv = jax.lax.all_gather(lv, axis, tiled=True)
+                a, b, cnt_best = _global_best_pair(gk, gv, min_pair_freq)
+            else:
+                la, lb, lv = bpe_ops.pair_counts_sorted(st, unk_id)
+                ga = jax.lax.all_gather(la, axis, tiled=True)
+                gb = jax.lax.all_gather(lb, axis, tiled=True)
+                gv = jax.lax.all_gather(lv, axis, tiled=True)
+                a, b, cnt_best = _global_best_pair2(ga, gb, gv,
+                                                    min_pair_freq)
             no_pair = cnt_best == 0
 
             def do_merge(args):
@@ -207,12 +239,13 @@ def sharded_train_loop(mesh: Mesh, ts: ShardedTrainState, unk_id: int,
                        min_pair_freq: int, *, target_merges: int,
                        max_steps: int, axis: str = "data",
                        _cache={}) -> ShardedTrainState:
-    key = (mesh_key(mesh), target_merges, max_steps, axis,
+    packed = 256 + target_merges <= bpe_ops.PACK_LIMIT
+    key = (mesh_key(mesh), target_merges, max_steps, axis, packed,
            ts.corpus.tokens.shape)
     if key not in _cache:
         _cache[key] = build_sharded_train_loop(
             mesh, target_merges=target_merges, max_steps=max_steps,
-            axis=axis)
+            axis=axis, packed=packed)
     fn = _cache[key]
     tok, wid, cnt, lens, merges, freqs, n_merges, done = fn(
         ts.corpus.tokens, ts.corpus.word_id, ts.corpus.wcount,
