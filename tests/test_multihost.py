@@ -131,6 +131,76 @@ def _run_workers(tmp_path, worker_src, n_procs, timeout=420):
     return outs
 
 
+_WORKER4_GIANT = r"""
+import os, sys
+import numpy as np
+
+rank = int(sys.argv[1])
+port = sys.argv[2]
+out = sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from shredword_tpu.parallel import multihost, sharded_giant_train
+
+multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=4, process_id=rank)
+assert jax.process_count() == 4, jax.process_count()
+assert jax.device_count() == 8, jax.device_count()
+mesh = multihost.global_mesh()
+
+rng = np.random.RandomState(5)
+n_words = 96
+lens = rng.randint(2, 9, n_words)
+word_id = np.repeat(np.arange(n_words, dtype=np.int32), lens)
+tokens = rng.randint(97, 105, len(word_id)).astype(np.int32)
+wc_word = rng.randint(1, 40, n_words).astype(np.int32)
+
+# the row-sharded GIANT-table engine across a real 4-process 8-device
+# group: table rows partition over the global mesh, the pick resolves
+# with the 3-collective lex-exact reduction (r4 verdict item 8)
+res = sharded_giant_train(tokens, word_id, wc_word, mesh=mesh,
+                          target_merges=12, unk_id=-1, min_pair_freq=2)
+assert res is not None
+merges, freqs = res
+assert len(merges) > 0
+
+np.save(out, np.concatenate([merges.reshape(-1), freqs]))
+print("rank", rank, "ok", len(merges))
+"""
+
+
+def test_four_process_giant_engine(tmp_path):
+    """4 OS processes x 2 devices: the row-sharded giant-table engine
+    over a real jax.distributed group — replicated-identical results on
+    every rank, equal to the single-process flat engine (r4 verdict
+    item 8: extend multihost coverage to the giant at 4 processes)."""
+    outs = _run_workers(tmp_path, _WORKER4_GIANT, 4)
+    ref = np.load(outs[0])
+    for o in outs[1:]:
+        np.testing.assert_array_equal(np.load(o), ref)
+
+    rng = np.random.RandomState(5)
+    n_words = 96
+    lens = rng.randint(2, 9, n_words)
+    word_id = np.repeat(np.arange(n_words, dtype=np.int32), lens)
+    tokens = rng.randint(97, 105, len(word_id)).astype(np.int32)
+    wc_word = rng.randint(1, 40, n_words).astype(np.int32)
+    from shredword_tpu.ops import bpe_ops
+    import jax.numpy as jnp
+    state = bpe_ops.make_state(tokens, word_id, wc_word[word_id], 1024)
+    ts = bpe_ops.train_init(state, 12)
+    ts = bpe_ops.train_loop(ts, jnp.int32(-1), jnp.int32(2),
+                            target_merges=12, max_steps=64)
+    n = int(ts.n_merges)
+    merges = ref[: 2 * n].reshape(-1, 2)
+    np.testing.assert_array_equal(merges, np.asarray(ts.merges)[:n])
+
+
 _WORKER_UNI = r"""
 import os, sys
 import numpy as np
