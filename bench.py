@@ -391,6 +391,30 @@ def measure_unigram() -> dict:
             "enc_mbs": enc_mbs, "n_ids": len(ids)}
 
 
+def measure_unigram_default() -> dict:
+    """Unigram at its DEFAULT config (r4 verdict item 5): 8,192 pieces,
+    seed 100k on the full 16 MB corpus, with quality metrics — final
+    corpus log-likelihood (total and per word occurrence) and
+    pieces-per-word on a 1 MB sample — so the 'SentencePiece-class'
+    claim is measurable from the artifacts."""
+    from shredword_tpu import UnigramTokenizer, UnigramTrainer
+    t = UnigramTrainer(target_vocab_size=8192, seed_size=100_000)
+    t.load_corpus(CORPUS)
+    t0 = time.perf_counter()
+    n = t.train()
+    train_s = time.perf_counter() - t0
+    t.save("/tmp/shred_bench/uni_default.model")
+    tok = UnigramTokenizer.load("/tmp/shred_bench/uni_default.model")
+    text = open(CORPUS).read()[:10**6]
+    ids = tok.encode_array(text)
+    n_words = max(text.count(" ") + text.count("\n") + 1, 1)
+    return {"vocab": n, "train_s": train_s,
+            "train_mbs": os.path.getsize(CORPUS) / 1e6 / train_s,
+            "final_ll": t.final_ll,
+            "ll_per_word": t.final_ll_per_word,
+            "pieces_per_word": len(ids) / n_words}
+
+
 def measure_presplit() -> dict:
     """GPT-pattern pre-split MB/s: native scanner vs the regex module
     (BASELINE config 4)."""
@@ -521,6 +545,18 @@ def main() -> None:
             f"{u['enc_mbs']:.1f} MB/s ({u['n_ids']} ids)\n")
     except Exception as e:
         sys.stderr.write(f"[bench] unigram side-metric failed: {e}\n")
+    try:
+        with _alarm(1800):
+            u = measure_unigram_default()
+        sys.stderr.write(
+            f"[bench] unigram DEFAULT config (8192 pieces, seed 100k, "
+            f"16 MB): {u['train_s']:.0f}s ({u['train_mbs']:.2f} MB/s); "
+            f"final corpus LL {u['final_ll']:.4g} "
+            f"({u['ll_per_word']:.3f}/word), "
+            f"{u['pieces_per_word']:.2f} pieces/word\n")
+    except Exception as e:
+        sys.stderr.write(f"[bench] unigram-default side-metric failed: "
+                         f"{e}\n")
     try:
         with _alarm(360):
             g = measure_giant_vocab()

@@ -284,6 +284,7 @@ class UnigramTrainer:
         logp = np.log(freq / freq.sum())
         log.info("Unigram seed: %d pieces", len(pieces))
 
+        ll = 0.0
         while True:
             for r in range(cfg.num_em_rounds):
                 exp_counts, ll = self._e_step(pieces, logp)
@@ -311,7 +312,19 @@ class UnigramTrainer:
             logp -= np.log(np.exp(logp).sum() + 1e-300)
         self.pieces = pieces
         self.log_probs = logp
-        log.info("Unigram training complete: %d pieces", len(pieces))
+        # quality metrics (BASELINE "Unigram" table): total corpus log
+        # likelihood of the final EM round, and its per-occurrence /
+        # per-byte normalizations (word occurrences weight the lattice)
+        self.final_ll = float(ll)
+        n_occ = float(self._wcounts.sum())
+        n_bytes = float((self._wcounts
+                         * np.asarray([len(w) for w in self._words],
+                                      np.int64)).sum())
+        self.final_ll_per_word = self.final_ll / max(n_occ, 1.0)
+        self.final_ll_per_byte = self.final_ll / max(n_bytes, 1.0)
+        log.info("Unigram training complete: %d pieces "
+                 "(corpus LL %.4g, %.4f/word)", len(pieces),
+                 self.final_ll, self.final_ll_per_word)
         return len(pieces)
 
     # ------------------------------------------------------------------
