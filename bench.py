@@ -496,7 +496,7 @@ def main() -> None:
         ref_dt, ref_n = measure_faithful_engine()
     tpu_dt, tpu_n = measure_tpu()
     try:
-        with _alarm(600):
+        with _alarm(1500):
             check_device_engines()
     except _SideMetricTimeout:
         sys.stderr.write("[bench] device engine cross-check stalled "
@@ -520,7 +520,7 @@ def main() -> None:
     except Exception as e:
         sys.stderr.write(f"[bench] pre-split side-metric failed: {e}\n")
     try:
-        with _alarm(360):
+        with _alarm(900):
             e = measure_encode()
         sys.stderr.write(
             f"[bench] encode: cpu native {e['cpu_mbs']:.1f} MB/s "
@@ -536,7 +536,7 @@ def main() -> None:
     except Exception as e:  # encode side-metric must never sink the bench
         sys.stderr.write(f"[bench] encode side-metric failed: {e}\n")
     try:
-        with _alarm(420):
+        with _alarm(900):
             u = measure_unigram()
         sys.stderr.write(
             f"[bench] unigram: {u['vocab']}-piece LM trained on the "
@@ -558,7 +558,7 @@ def main() -> None:
         sys.stderr.write(f"[bench] unigram-default side-metric failed: "
                          f"{e}\n")
     try:
-        with _alarm(360):
+        with _alarm(900):
             g = measure_giant_vocab()
         sys.stderr.write(
             f"[bench] 32k-vocab train (giant engine): {g['merges']} "
