@@ -81,6 +81,11 @@ class UnigramTrainer:
         self._slabs = None          # device-resident lattice tables
         self.pieces: list[bytes] = []
         self.log_probs: np.ndarray = np.zeros(0, np.float64)
+        # quality metrics, set by train(): total corpus log likelihood
+        # of the final EM round and its normalizations
+        self.final_ll: float = 0.0
+        self.final_ll_per_word: float = 0.0
+        self.final_ll_per_byte: float = 0.0
 
     # ------------------------------------------------------------------
 

@@ -910,7 +910,14 @@ def fused_hist_train(c: HistCorpus, v: int, *, target_merges: int,
         variant = "big"                     # table streamed from HBM
     else:
         return None
-    steps = max(1, min(steps_per_call, target_merges))
+    # steps is canonically steps_per_call, NOT min(steps, target): the
+    # kernel already masks excess grid steps via scal[4] (allowed) and
+    # the sticky done flag, so a 144-merge config compiles the SAME
+    # executable as a 500-merge one at equal (v, L, NC) — through the
+    # tunnel each distinct executable costs minutes per process
+    # (BASELINE "Process startup"), so kernel-count frugality matters
+    # more than the ~microseconds of masked no-op grid steps.
+    steps = max(1, steps_per_call)
     key = ("fused", variant, v, L, NC, steps, interpret)
     if key not in _cache:
         if variant == "small":

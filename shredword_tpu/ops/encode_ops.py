@@ -523,6 +523,13 @@ DEDUP_MIN_CHUNKS = 2048
 # bounded and short chunks don't ride in a tall block
 SINGLE_BLOCK_MAX_CELLS = 1 << 24
 
+# prefer per-length-bucket blocks above this many chunks even when one
+# block would fit: short chunks riding a tall block waste merge rounds,
+# and the extra dispatches amortize once W is large (measured r05 on
+# the 4 MB bench text, 47k unique chunks: multi-bucket 98-105 ms vs
+# single-block 114-126 ms device time)
+SINGLE_BLOCK_MAX_CHUNKS = 8192
+
 # one device call's stream window (int32 gather offsets on device)
 STREAM_WINDOW_BYTES = 2 ** 31 - 2 ** 27
 
@@ -562,7 +569,8 @@ def _encode_counts(flat, lens, off, table, v):
     Wb = _bucket(len(uniq), floor=256)
     ids_u, cnt_u = _encode_all(
         flat[src], lens_u, off_u, table, v,
-        single_block=Lb * Wb <= SINGLE_BLOCK_MAX_CELLS)
+        single_block=(Lb * Wb <= SINGLE_BLOCK_MAX_CELLS
+                      and len(lens_u) <= SINGLE_BLOCK_MAX_CHUNKS))
     from ..runtime import native
     uoff = np.zeros(len(uniq) + 1, np.int64)
     np.cumsum(cnt_u, out=uoff[1:])
@@ -657,7 +665,8 @@ def encode_ws_text(flat: np.ndarray, merges: np.ndarray, v: int,
     Wb = _bucket(len(lens_u), floor=256)
     ids_u, cnt_u = _encode_all(
         flat[src], lens_u, off_u, table, v,
-        single_block=Lb * Wb <= SINGLE_BLOCK_MAX_CELLS)
+        single_block=(Lb * Wb <= SINGLE_BLOCK_MAX_CELLS
+                      and len(lens_u) <= SINGLE_BLOCK_MAX_CHUNKS))
     uoff = np.zeros(len(cnt_u) + 1, np.int64)
     np.cumsum(cnt_u, out=uoff[1:])
     total = int(cnt_u[inverse].sum())

@@ -11,6 +11,7 @@
 #include "shred_native.hpp"
 
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -65,51 +66,138 @@ int64_t shred_dedup_spans(const uint8_t* data, const int64_t* off,
 // `data`, *n_chunks_out = number of chunks.  inverse must have
 // capacity >= n (worst case: 1-byte chunks); uniq_off/uniq_len the
 // same.  Returns the number of unique chunks.
+namespace {
+
+// branchless byte classifier: the 4-compare lambda cost ~4 ns/byte
+// across the two passes on this host; a 256-entry table is one load
+struct WsTable {
+  uint8_t t[256] = {};
+  WsTable() { t[' '] = t['\t'] = t['\r'] = t['\n'] = 1; }
+};
+const WsTable WS_;
+#define WS WS_.t
+
+// One [lo, hi) range of the stream deduped into its own table.
+// Offsets are ABSOLUTE into `data`; ids are range-local,
+// first-occurrence order.  Returns -1 on an int32-length overflow.
+struct WsRange {
+  std::vector<int32_t> table;   // slot -> local unique id + 1
+  size_t mask = 0;
+  std::vector<int64_t> uoff;
+  std::vector<int32_t> ulen;
+  std::vector<int32_t> inv;
+  int rc = 0;
+};
+
+void ws_dedup_range(const uint8_t* data, int64_t lo, int64_t hi,
+                    WsRange* r) {
+  int64_t est_chunks = hi > lo ? 1 : 0;
+  {
+    uint8_t prev = hi > lo ? WS[data[lo]] : 0;
+    for (int64_t k = lo + 1; k < hi; k++) {
+      const uint8_t cur = WS[data[k]];
+      est_chunks += cur != prev;
+      prev = cur;
+    }
+  }
+  size_t cap = 16;
+  while (cap < (size_t)est_chunks * 2 + 16) cap <<= 1;
+  r->table.assign(cap, 0);
+  r->mask = cap - 1;
+  r->inv.reserve((size_t)est_chunks);
+  int64_t i = lo;
+  while (i < hi) {
+    const uint8_t ws = WS[data[i]];
+    int64_t j = i + 1;
+    while (j < hi && WS[data[j]] == ws) j++;
+    const int64_t len = j - i;
+    if (len > INT32_MAX) { r->rc = -1; return; }
+    const uint8_t* p = data + i;
+    size_t slot = (size_t)(shred::fnv1a64(p, (size_t)len) & r->mask);
+    for (;;) {
+      int32_t u = r->table[slot];
+      if (u == 0) {
+        r->table[slot] = (int32_t)(r->uoff.size() + 1);
+        r->inv.push_back((int32_t)r->uoff.size());
+        r->uoff.push_back(i);
+        r->ulen.push_back((int32_t)len);
+        break;
+      }
+      if (r->ulen[u - 1] == (int32_t)len &&
+          std::memcmp(data + r->uoff[u - 1], p, (size_t)len) == 0) {
+        r->inv.push_back(u - 1);
+        break;
+      }
+      slot = (slot + 1) & r->mask;
+    }
+    i = j;
+  }
+}
+
+}  // namespace
+
 int64_t shred_ws_chunk_dedup(const uint8_t* data, int64_t n,
                              int32_t* inverse, int64_t* uniq_off,
                              int32_t* uniq_len, int64_t* n_chunks_out) {
-  auto is_ws = [](uint8_t c) {
-    return c == ' ' || c == '\t' || c == '\r' || c == '\n';
-  };
-  // cheap pre-pass: count chunks (= class transitions + 1) so the hash
-  // table is sized by actual chunk count, not byte count — a
-  // byte-count-sized table (8M slots for 4 MB) thrashes the cache
-  int64_t est_chunks = n > 0 ? 1 : 0;
-  for (int64_t k = 1; k < n; k++)
-    est_chunks += is_ws(data[k]) != is_ws(data[k - 1]);
-  size_t cap = 16;
-  while (cap < (size_t)est_chunks * 2 + 16) cap <<= 1;
-  std::vector<int32_t> table(cap, 0);  // slot -> unique id + 1
-  const size_t mask = cap - 1;
-  int64_t n_uniq = 0, n_chunks = 0;
-  int64_t i = 0;
-  while (i < n) {
-    const bool ws = is_ws(data[i]);
-    int64_t j = i + 1;
-    while (j < n && is_ws(data[j]) == ws) j++;
-    const int64_t len = j - i;
-    if (len > INT32_MAX) return -1;  // uniq_len is int32; refuse, don't wrap
-    const uint8_t* p = data + i;
-    size_t slot = (size_t)(shred::fnv1a64(p, (size_t)len) & mask);
-    for (;;) {
-      int32_t u = table[slot];
-      if (u == 0) {
-        table[slot] = (int32_t)(n_uniq + 1);
-        uniq_off[n_uniq] = i;
-        uniq_len[n_uniq] = (int32_t)len;
-        inverse[n_chunks] = (int32_t)n_uniq;
+  // Two-way threaded split on a chunk boundary (this host has 2
+  // cores; corpus.cpp's loader uses the same pattern).  The global
+  // result is BIT-IDENTICAL to the single-threaded scan: a unique
+  // seen in both halves keeps its half-A id (A precedes B in the
+  // stream, so A-first IS first-occurrence order), and B-only uniques
+  // append in B's first-occurrence order.
+  int64_t split = 0;
+  if (n >= (1 << 20) && std::thread::hardware_concurrency() >= 2) {
+    split = n / 2;
+    // advance to the next class transition = a chunk start
+    while (split < n && WS[data[split]] == WS[data[split - 1]]) split++;
+  }
+  WsRange a, b;
+  if (split > 0 && split < n) {
+    std::thread tb(ws_dedup_range, data, split, n, &b);
+    ws_dedup_range(data, 0, split, &a);
+    tb.join();
+  } else {
+    ws_dedup_range(data, 0, n, &a);
+  }
+  if (a.rc < 0 || b.rc < 0) return -1;
+
+  // half A lands verbatim
+  int64_t n_uniq = (int64_t)a.uoff.size();
+  std::memcpy(uniq_off, a.uoff.data(), a.uoff.size() * sizeof(int64_t));
+  std::memcpy(uniq_len, a.ulen.data(), a.ulen.size() * sizeof(int32_t));
+  std::memcpy(inverse, a.inv.data(), a.inv.size() * sizeof(int32_t));
+  int64_t n_chunks = (int64_t)a.inv.size();
+
+  if (!b.uoff.empty()) {
+    // remap half-B uniques: A-resident ones take A's id, the rest
+    // append globally in B order
+    std::vector<int32_t> remap(b.uoff.size());
+    for (size_t u = 0; u < b.uoff.size(); u++) {
+      const uint8_t* p = data + b.uoff[u];
+      const int32_t len = b.ulen[u];
+      int32_t gid = -1;
+      size_t slot = (size_t)(shred::fnv1a64(p, (size_t)len) & a.mask);
+      for (;;) {
+        int32_t w = a.table[slot];
+        if (w == 0) break;
+        if (a.ulen[w - 1] == len &&
+            std::memcmp(data + a.uoff[w - 1], p, (size_t)len) == 0) {
+          gid = w - 1;
+          break;
+        }
+        slot = (slot + 1) & a.mask;
+      }
+      if (gid < 0) {
+        gid = (int32_t)n_uniq;
+        uniq_off[n_uniq] = b.uoff[u];
+        uniq_len[n_uniq] = len;
         n_uniq++;
-        break;
       }
-      if (uniq_len[u - 1] == (int32_t)len &&
-          std::memcmp(data + uniq_off[u - 1], p, (size_t)len) == 0) {
-        inverse[n_chunks] = u - 1;
-        break;
-      }
-      slot = (slot + 1) & mask;
+      remap[u] = gid;
     }
-    n_chunks++;
-    i = j;
+    for (size_t k = 0; k < b.inv.size(); k++)
+      inverse[n_chunks + (int64_t)k] = remap[b.inv[k]];
+    n_chunks += (int64_t)b.inv.size();
   }
   *n_chunks_out = n_chunks;
   return n_uniq;
