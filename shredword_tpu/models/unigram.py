@@ -79,6 +79,7 @@ class UnigramTrainer:
         self._words: list[bytes] | None = None
         self._wcounts: np.ndarray | None = None
         self._slabs = None          # device-resident lattice tables
+        self._nb: int | None = None  # run-constant piece-count bucket
         self.pieces: list[bytes] = []
         self.log_probs: np.ndarray = np.zeros(0, np.float64)
         # quality metrics, set by train(): total corpus log likelihood
@@ -223,7 +224,8 @@ class UnigramTrainer:
             return
         from ..ops import unigram_ops
         perm = np.where(keep, np.cumsum(keep) - 1, -1).astype(np.int32)
-        self._slabs = [unigram_ops.remap_device_table(dt, perm)
+        self._slabs = [unigram_ops.remap_device_table(dt, perm,
+                                                      self._nb)
                        for dt in self._slabs]
 
     def _e_step(self, pieces, logp):
@@ -251,17 +253,26 @@ class UnigramTrainer:
             use_device = (jax.default_backend() == "tpu"
                           or _interpret_ok())
         if use_device:
+            # run-constant piece-count bucket: the FB/remap cost is
+            # n_pieces-independent (the lattice is [L, W, K]); sizing
+            # every round to the SEED bucket shares one executable per
+            # slab shape for the whole shrink schedule instead of one
+            # per power-of-two crossing (each distinct shape costs a
+            # full compile — minutes through a tunneled chip)
+            if use_device and self._nb is None:
+                self._nb = unigram_ops._pow2(len(pieces))
             if self.mesh is not None:
                 from ..parallel import unigram as par_uni
                 for dt in self._dev_slab_tables(pieces):
                     c, l = par_uni.sharded_forward_backward(
-                        dt, lp, len(pieces), mesh=self.mesh)
+                        dt, lp, len(pieces), mesh=self.mesh,
+                        nb=self._nb)
                     total += np.asarray(c, np.float64)
                     ll += float(l)
                 return total, ll
             for dt in self._dev_slab_tables(pieces):
                 c, l = unigram_ops.forward_backward_resident(
-                    dt, lp, len(pieces))
+                    dt, lp, len(pieces), nb=self._nb)
                 total += np.asarray(c, np.float64)
                 ll += float(l)
             return total, ll
@@ -285,6 +296,7 @@ class UnigramTrainer:
         cfg = self.config
         pieces, counts = self._seed()
         self._slabs = None          # resident tables track `pieces`
+        self._nb = None             # re-derived from this seed set
         freq = counts.astype(np.float64)
         logp = np.log(freq / freq.sum())
         log.info("Unigram seed: %d pieces", len(pieces))

@@ -239,12 +239,18 @@ def _remap_ids(ids_s, perm_ext):
     return perm_ext[safe]
 
 
-def remap_device_table(dt: DeviceTable, perm: np.ndarray) -> DeviceTable:
+def remap_device_table(dt: DeviceTable, perm: np.ndarray,
+                       nb: int | None = None) -> DeviceTable:
     """Renumber piece ids after a prune: perm[old] = new id, or -1 for
     pruned pieces.  One device gather; nothing re-crosses the link but
-    the tiny perm vector."""
+    the tiny perm vector.  ``nb`` pads the perm vector to a
+    run-constant bucket so every prune round reuses ONE compiled
+    gather (each distinct shape costs a fresh compile — minutes
+    through the tunnel, BASELINE 'Process startup')."""
+    cap = max(_pow2(len(perm)) if nb is None else nb, len(perm))
     perm_ext = jnp.asarray(np.concatenate(
-        [perm.astype(np.int32), np.array([-1], np.int32)]))
+        [perm.astype(np.int32),
+         np.full(cap - len(perm) + 1, -1, np.int32)]))
     return DeviceTable(_remap_ids(dt.ids_s, perm_ext), dt.wlen,
                        dt.wcount, dt.n_words)
 
@@ -257,11 +263,17 @@ def _fb_device_resident(ids_s, lp_ext, wlen, wcount, n_pieces: int):
 
 
 def forward_backward_resident(dt: DeviceTable, logp: np.ndarray,
-                              n_pieces: int):
+                              n_pieces: int, nb: int | None = None):
     """Expected counts + log likelihood from a device-resident slab.
     n_pieces buckets to a power of two (the -inf padded tail of lp_ext
-    makes padded ids unreachable), so prune rounds reuse executables."""
-    nb = _pow2(n_pieces)
+    makes padded ids unreachable), so prune rounds reuse executables.
+
+    Pass ``nb`` (a run-constant bucket, e.g. the SEED piece count's
+    power of two) to share one executable across ALL prune rounds: the
+    FB cost is n_pieces-independent (the lattice is [L, W, K]; only
+    the final counts scatter is sized by nb), while each distinct nb
+    costs a full compile."""
+    nb = _pow2(n_pieces) if nb is None else max(nb, _pow2(n_pieces))
     lp_ext = np.concatenate(
         [np.asarray(logp, np.float32),
          np.full(nb - n_pieces + 1, -np.inf, np.float32)])

@@ -83,11 +83,14 @@ def build_sharded_fb(mesh: Mesh, n_pieces_bucket: int,
 def sharded_forward_backward(dt: unigram_ops.DeviceTable,
                              logp: np.ndarray, n_pieces: int, *,
                              mesh: Mesh, axis: str = "data",
-                             _cache={}):
+                             nb: int | None = None, _cache={}):
     """Expected counts + log likelihood from a mesh-sharded slab.
     Same bucketing contract as forward_backward_resident: n_pieces
-    rounds up to a power of two so prune epochs share executables."""
-    nb = unigram_ops._pow2(n_pieces)
+    rounds up to a power of two so prune epochs share executables —
+    pass a run-constant ``nb`` (seed bucket) to share ONE executable
+    across every prune round."""
+    nb = unigram_ops._pow2(n_pieces) if nb is None \
+        else max(nb, unigram_ops._pow2(n_pieces))
     lp_ext = np.concatenate(
         [np.asarray(logp, np.float32),
          np.full(nb - n_pieces + 1, -np.inf, np.float32)])
@@ -100,8 +103,9 @@ def sharded_forward_backward(dt: unigram_ops.DeviceTable,
 
 
 def remap_sharded_table(dt: unigram_ops.DeviceTable,
-                        perm: np.ndarray) -> unigram_ops.DeviceTable:
+                        perm: np.ndarray,
+                        nb: int | None = None) -> unigram_ops.DeviceTable:
     """Prune renumbering on a sharded table: the elementwise gather
     preserves the table's sharding (XLA keeps P(None, data, None));
     only the tiny perm vector crosses the host link."""
-    return unigram_ops.remap_device_table(dt, perm)
+    return unigram_ops.remap_device_table(dt, perm, nb)
