@@ -357,13 +357,19 @@ def measure_giant_vocab() -> dict:
     7.8-9.6 MB/s raw / 8.6 public path vs reference 0.365, ~24x) is in
     BASELINE.md."""
     from shredword_tpu.models.bpe import BPETrainer
-    t = BPETrainer(target_vocab_size=32768, unk_id=-1,
-                   character_coverage=1.0, min_pair_freq=2,
-                   backend="tpu")
-    t.load_corpus(CORPUS)
-    t0 = time.perf_counter()
-    n = t.train()
-    dt = time.perf_counter() - t0
+    def run():
+        t = BPETrainer(target_vocab_size=32768, unk_id=-1,
+                       character_coverage=1.0, min_pair_freq=2,
+                       backend="tpu")
+        t.load_corpus(CORPUS)
+        t0 = time.perf_counter()
+        n = t.train()
+        dt = time.perf_counter() - t0
+        t.destroy()
+        return dt, n
+
+    run()                   # warm-up: executable deserialize/load
+    dt, n = min(run() for _ in range(2))
     mb = os.path.getsize(CORPUS) / 1e6
     return {"merges": n, "seconds": dt, "mbs": mb / dt,
             "ms_per_merge": dt / max(n, 1) * 1000}

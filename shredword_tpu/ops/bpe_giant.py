@@ -290,7 +290,7 @@ def _slot_deltas_mxu(tt, sel, ww, new, unk, l_c, vh, dl_ref, dr_ref):
 # ---------------------------------------------------------------------
 
 def _giant_kernel(v: int, L: int, NC: int, W: int, cw: int,
-                  vh_eff: int,
+                  vh_eff: int, kb: int,
                   lens_ref, scal_ref,            # scalar prefetch (SMEM)
                   wc_hbm, tw_hbm, h_in, p_in, rmax_in,   # inputs
                   tw_out, h_io, p_io, rmax_ref, mrow_ref,  # outputs
@@ -394,10 +394,14 @@ def _giant_kernel(v: int, L: int, NC: int, W: int, cw: int,
         lane_nc = jax.lax.broadcasted_iota(jnp.int32, (1, NC), 1)
 
         # ---- compact the flagged chunk ids into an SMEM list (scalar
-        # sweep), then iterate DENSELY over flagged chunks with
-        # double-buffered input DMA: chunk k+1's tokens+weights stream
-        # in while chunk k is processed, hiding the per-chunk DMA
-        # latency that dominates the sweep at large NC
+        # sweep), then iterate DENSELY over flagged chunks, KB chunks
+        # per step, with double-buffered input DMA: batch k+1's
+        # tokens+weights stream in while batch k is processed.  Wide
+        # batches amortize the per-VPU-pass issue latency of the
+        # select/compact over KB chunks (words are COLUMNS, so
+        # horizontal batching preserves per-word semantics exactly) —
+        # the r05 profile's residual per-chunk fixed cost after the
+        # log-depth select.
         def scanf(c, cnt):
             @pl.when(flag_smem[0, c] != 0)
             def _():
@@ -406,47 +410,75 @@ def _giant_kernel(v: int, L: int, NC: int, W: int, cw: int,
 
         nf = jax.lax.fori_loop(0, nc_used, scanf, jnp.int32(0))
 
-        def start_in(k, slot):
-            c = list_smem[0, k]
-            pltpu.make_async_copy(
-                tw_out.at[:, pl.ds(c * cw, cw)], tbuf.at[slot],
-                sem_t.at[slot]).start()
-            pltpu.make_async_copy(
-                wc_hbm.at[:, pl.ds(c * cw, cw)], wbuf.at[slot],
-                sem_w.at[slot]).start()
+        bw = kb * cw
+        lane_bw = jax.lax.broadcasted_iota(jnp.int32, (1, bw), 1)
+
+        def start_in(batch, slot):
+            base = batch * kb
+            for j in range(kb):
+                @pl.when(base + j < nf)   # never read stale list slots
+                def _(j=j):
+                    c = list_smem[0, base + j]
+                    pltpu.make_async_copy(
+                        tw_out.at[:, pl.ds(c * cw, cw)],
+                        tbuf.at[slot, slice(None), pl.ds(j * cw, cw)],
+                        sem_t.at[slot, j]).start()
+                    pltpu.make_async_copy(
+                        wc_hbm.at[:, pl.ds(c * cw, cw)],
+                        wbuf.at[slot, slice(None), pl.ds(j * cw, cw)],
+                        sem_w.at[slot, j]).start()
+
+        nbat = (nf + kb - 1) // kb
 
         @pl.when(nf > 0)
         def _():
             start_in(0, 0)
 
-        def chunk_body(k, carry):
-            slot = jax.lax.rem(k, 2)
-            c = list_smem[0, k]
-            l_c = lens_ref[c]
-            pltpu.make_async_copy(
-                tw_out.at[:, pl.ds(c * cw, cw)], tbuf.at[slot],
-                sem_t.at[slot]).wait()
-            pltpu.make_async_copy(
-                wc_hbm.at[:, pl.ds(c * cw, cw)], wbuf.at[slot],
-                sem_w.at[slot]).wait()
+        def chunk_body(kbi, carry):
+            slot = jax.lax.rem(kbi, 2)
+            base = kbi * kb
+            for j in range(kb):
+                @pl.when(base + j < nf)
+                def _(j=j):
+                    c = list_smem[0, base + j]
+                    pltpu.make_async_copy(
+                        tw_out.at[:, pl.ds(c * cw, cw)],
+                        tbuf.at[slot, slice(None), pl.ds(j * cw, cw)],
+                        sem_t.at[slot, j]).wait()
+                    pltpu.make_async_copy(
+                        wc_hbm.at[:, pl.ds(c * cw, cw)],
+                        wbuf.at[slot, slice(None), pl.ds(j * cw, cw)],
+                        sem_w.at[slot, j]).wait()
 
-            @pl.when(k + 1 < nf)
+            @pl.when(kbi + 1 < nbat)
             def _():
-                start_in(k + 1, 1 - slot)
+                start_in(kbi + 1, 1 - slot)
 
-            tt = tbuf[slot].astype(jnp.int32)
+            # batch-max word length bounds the MXU slot loop; guarded
+            # index (min with nf-1) so no stale slot is ever read
+            l_c = jnp.int32(0)
+            for j in range(kb):
+                idx = base + j
+                cj = list_smem[0, jnp.minimum(idx,
+                                              jnp.maximum(nf - 1, 0))]
+                l_c = jnp.maximum(
+                    l_c, jnp.where(idx < nf, lens_ref[cj], 0))
+
+            # columns beyond the last valid chunk neutralize to
+            # PAD/weight-0: no matches, no deltas, never written back
+            valid_col = (lane_bw // cw) < (nf - base)
+            tt = jnp.where(valid_col, tbuf[slot].astype(jnp.int32), PAD)
+            ww = jnp.where(valid_col, wbuf[slot], 0)
             nxt0 = _shift_up(tt, PAD)
             mm = (tt == a) & (nxt0 == b)
 
             @pl.when(jnp.any(mm))
             def _():
                 t2, sel = _select_apply_dyn(tt, a, b, new, l_c, L)
-                tbuf[slot] = t2.astype(jnp.int16)
                 # exact MXU scatter is capped at 512 lanes; run it on
-                # sub-slices of the (wider) DMA chunk, staged through
-                # scratch so each slice gets a zero-offset layout
-                ww = wbuf[slot]
-                for j in range(cw // MXU_C):
+                # sub-slices of the batch, staged through scratch so
+                # each slice gets a zero-offset layout
+                for j in range(bw // MXU_C):
                     sl = slice(j * MXU_C, (j + 1) * MXU_C)
                     @pl.when(jnp.any(mm[:, sl]))
                     def _(sl=sl):
@@ -456,20 +488,34 @@ def _giant_kernel(v: int, L: int, NC: int, W: int, cw: int,
                         _slot_deltas_mxu(subt[:], subsel[:],
                                          subw[:], new, unk, l_c,
                                          vh_eff, dl_ref, dr_ref)
-                here = (lane_nc == c)
-                stillA[:] = jnp.where(
-                    here, jnp.any(t2 == a).astype(jnp.int32), stillA[:])
-                stillB[:] = jnp.where(
-                    here, jnp.any(t2 == b).astype(jnp.int32), stillB[:])
-                hasN[:] = jnp.where(here, 1, hasN[:])
-                cp_o = pltpu.make_async_copy(
-                    tbuf.at[slot], tw_out.at[:, pl.ds(c * cw, cw)],
-                    sem_c)
-                cp_o.start()
-                cp_o.wait()
+                # per-chunk presence updates + write-back (only chunks
+                # that actually matched)
+                for j in range(kb):
+                    jsl = slice(j * cw, (j + 1) * cw)
+                    @pl.when((base + j < nf) & jnp.any(mm[:, jsl]))
+                    def _(j=j, jsl=jsl):
+                        c = list_smem[0, base + j]
+                        here = (lane_nc == c)
+                        t2j = t2[:, jsl]
+                        tbuf[slot, slice(None), pl.ds(j * cw, cw)] =                             t2j.astype(jnp.int16)
+                        stillA[:] = jnp.where(
+                            here,
+                            jnp.any(t2j == a).astype(jnp.int32),
+                            stillA[:])
+                        stillB[:] = jnp.where(
+                            here,
+                            jnp.any(t2j == b).astype(jnp.int32),
+                            stillB[:])
+                        hasN[:] = jnp.where(here, 1, hasN[:])
+                        cp_o = pltpu.make_async_copy(
+                            tbuf.at[slot, slice(None),
+                                    pl.ds(j * cw, cw)],
+                            tw_out.at[:, pl.ds(c * cw, cw)], sem_c)
+                        cp_o.start()
+                        cp_o.wait()
             return carry
 
-        jax.lax.fori_loop(0, nf, chunk_body, 0)
+        jax.lax.fori_loop(0, nbat, chunk_body, 0)
 
         # ---- exact presence row rewrites (a, then b, then new; groups
         # are re-read so overlapping 32-row groups stay consistent)
@@ -568,7 +614,7 @@ def _giant_kernel(v: int, L: int, NC: int, W: int, cw: int,
 
 def make_giant_train(v: int, L: int, NC: int, steps: int,
                      interpret: bool = False, cw: int = C,
-                     vh_eff: int | None = None):
+                     vh_eff: int | None = None, kb: int = 1):
     """One pallas_call = `steps` greedy merges at giant scale.
 
     giant(lens, scal, wc, tw, hist4, presT, rowmax) ->
@@ -583,7 +629,7 @@ def make_giant_train(v: int, L: int, NC: int, steps: int,
     W = NC * cw
     vh = v // 128
     vh_eff = vh if vh_eff is None else min(vh_eff, vh)
-    kernel = partial(_giant_kernel, v, L, NC, W, cw, vh_eff)
+    kernel = partial(_giant_kernel, v, L, NC, W, cw, vh_eff, kb)
 
     @partial(jax.jit, donate_argnums=(3, 4, 5, 6))
     def giant(lens, scal, wc, tw, hist4, presT, rowmax):
@@ -615,8 +661,8 @@ def make_giant_train(v: int, L: int, NC: int, steps: int,
                     pltpu.VMEM((vh, 128), jnp.int32),        # dr
                     pltpu.VMEM((vh, 128), jnp.int32),        # rowbuf
                     pltpu.VMEM((SLAB, 128), jnp.int32),      # slabbuf
-                    pltpu.VMEM((2, L, cw), jnp.int16),       # tbuf x2
-                    pltpu.VMEM((2, 1, cw), jnp.int32),       # wbuf x2
+                    pltpu.VMEM((2, L, kb * cw), jnp.int16),  # tbuf x2
+                    pltpu.VMEM((2, 1, kb * cw), jnp.int32),  # wbuf x2
                     pltpu.VMEM((32, NC), jnp.int8),          # presence grp
                     pltpu.VMEM((1, NC), jnp.int32),          # stillA
                     pltpu.VMEM((1, NC), jnp.int32),          # stillB
@@ -630,8 +676,8 @@ def make_giant_train(v: int, L: int, NC: int, steps: int,
                     pltpu.SemaphoreType.DMA(()),             # sem_a
                     pltpu.SemaphoreType.DMA(()),             # sem_b
                     pltpu.SemaphoreType.DMA(()),             # sem_c
-                    pltpu.SemaphoreType.DMA((2,)),           # sem_t
-                    pltpu.SemaphoreType.DMA((2,)),           # sem_w
+                    pltpu.SemaphoreType.DMA((2, kb)),        # sem_t
+                    pltpu.SemaphoreType.DMA((2, kb)),        # sem_w
                 ],
             ),
             out_shape=[
@@ -697,6 +743,7 @@ def giant_train(tokens: np.ndarray, word_id: np.ndarray,
                 max_word_len: int = 64, steps_per_call: int = 4096,
                 interpret: bool = False, progress_cb=None,
                 lazy_final: bool = False, chunk_width: int | None = None,
+                batch_chunks: int | None = None,
                 n_prev_merges: int = 0, _cache={}):
     """Full driver: one upload, one dispatch per steps_per_call merges,
     16 bytes of readback per merge.  Returns (merges[M, 2], freqs[M],
@@ -716,7 +763,18 @@ def giant_train(tokens: np.ndarray, word_id: np.ndarray,
         n_words_est = int(word_id.max()) + 1 if len(word_id) else 0
         cw = 2 * C if n_words_est > 1_500_000 else C
     else:
+        n_words_est = int(word_id.max()) + 1 if len(word_id) else 0
         cw = chunk_width
+    # K chunks per kernel step was built to amortize per-VPU-pass
+    # issue latency, but measured a REGRESSION at 1 GB once the
+    # log-depth select landed (kb=4: 75 s vs kb=1: 46-48 s warm):
+    # per-pass work already scales with total cells, so batching saves
+    # nothing there, while it forfeits the per-chunk match skip — a
+    # batch with ONE matching chunk pays select over all K (presence
+    # flags are necessary, not sufficient, so many flagged chunks have
+    # no match).  Default stays 1; the tunable and its bit-exactness
+    # test remain (tests/test_giant_engine.py kb conformance).
+    kb = 1 if batch_chunks is None else max(1, int(batch_chunks))
     if cw % MXU_C:
         raise ValueError(f"chunk_width must be a multiple of {MXU_C}")
     v = 256 + target_merges
@@ -748,11 +806,11 @@ def giant_train(tokens: np.ndarray, word_id: np.ndarray,
         while vh_eff < need:
             vh_eff *= 2
         vh_eff = min(vh_eff, vh)
-        key = (v, L, NC, steps, interpret, cw, vh_eff)
+        key = (v, L, NC, steps, interpret, cw, vh_eff, kb)
         if key not in _cache:
             _cache[key] = make_giant_train(v, L, NC, steps,
                                            interpret=interpret, cw=cw,
-                                           vh_eff=vh_eff)
+                                           vh_eff=vh_eff, kb=kb)
         return _cache[key]
 
     tw = jnp.asarray(lay.tw)

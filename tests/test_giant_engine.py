@@ -156,3 +156,31 @@ def test_giant_chunk_width_conformance():
             interpret=True, steps_per_call=8, chunk_width=cw, _cache={})
         outs.append((m.tolist(), f.tolist()))
     assert outs[0] == outs[1]
+
+
+def test_giant_batch_chunks_conformance():
+    """K-chunk batching (r05: amortizes per-VPU-pass issue latency at
+    GB scale) must not change merges, freqs, or the final corpus —
+    words are columns, so horizontal batching is semantics-preserving
+    by construction; this pins it, including partial tail batches and
+    kb > chunk-count padding."""
+    import numpy as np
+    from shredword_tpu.ops import bpe_giant
+    rng = np.random.default_rng(13)
+    words = []
+    for _ in range(1200):
+        n = int(rng.integers(2, 9))
+        words.append(bytes(rng.integers(97, 103, n).tolist()))
+    counts = rng.integers(1, 50, len(words)).astype(np.int32)
+    toks = np.concatenate([np.frombuffer(w, np.uint8).astype(np.int32)
+                           for w in words])
+    wid = np.repeat(np.arange(len(words), dtype=np.int32),
+                    [len(w) for w in words])
+    outs = []
+    for kb in (1, 2, 4):
+        m, f, ft, fw = bpe_giant.giant_train(
+            toks, wid, counts, target_merges=24, min_pair_freq=2,
+            interpret=True, steps_per_call=8, chunk_width=512,
+            batch_chunks=kb, _cache={})
+        outs.append((m.tolist(), f.tolist(), ft.tolist(), fw.tolist()))
+    assert outs[0] == outs[1] == outs[2]
