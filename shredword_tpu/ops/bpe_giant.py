@@ -753,9 +753,11 @@ def giant_train(tokens: np.ndarray, word_id: np.ndarray,
     MAX_NC * chunk_width unique words — 16.7M at the default width)."""
     if chunk_width is None:
         # measured r4 (1 GB, 3.44M words, v5e): cw=2048 -> 105 s vs
-        # 1024 -> 129 s (the per-chunk fixed cost dominates GB-scale
-        # sweeps); the r3 16 MB sweep showed 2048 SLOWER there
-        # (0.58 vs 0.36 ms/merge), so widen only for large word sets
+        # 1024 -> 129 s; re-swept r5 after the log-depth select:
+        # 2048 -> 48.7 s vs 1024 -> 57-62 s warm — 2048 stays the
+        # GB-scale optimum.  The r3 16 MB sweep showed 2048 SLOWER
+        # there (0.58 vs 0.36 ms/merge), so widen only for large
+        # word sets
         # word_id.max() rather than word_id[-1]: callers normally pass
         # sorted word ids, but the width choice should not silently
         # degrade for an unsorted caller (ADVICE r4; perf-only either
