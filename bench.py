@@ -353,9 +353,9 @@ def _timed(fn) -> float:
 def measure_giant_vocab() -> dict:
     """32k-vocab train on the bench corpus (giant HBM-table engine,
     reached through hist_train's vocab routing at v > 4096) — BASELINE
-    config 2's engine at bench scale.  The full-scale number (1 GB:
-    7.8-9.6 MB/s raw / 8.6 public path vs reference 0.365, ~24x) is in
-    BASELINE.md."""
+    config 2's engine at bench scale, steady state (warm-up then best
+    of 2).  The full-scale number (1 GB: 21.4-21.8 MB/s warm vs
+    reference 0.365, ~59x, r05) is in BASELINE.md."""
     from shredword_tpu.models.bpe import BPETrainer
     def run():
         t = BPETrainer(target_vocab_size=32768, unk_id=-1,
