@@ -103,13 +103,30 @@ def _recv_line(conn: socket.socket) -> bytes | None:
 def serve(socket_path: str | None = None,
           idle_timeout: float = 3600.0) -> int:
     """Run the daemon loop (blocks).  Returns process exit code."""
+    # The server must NEVER route its own command handling back through
+    # daemon clients: with SHREDWORD_DAEMON=1 inherited from the
+    # spawning client, cli.main inside _handle would try to reach the
+    # daemon (busy: itself), fail, and auto-start another server — a
+    # cross-process spawn loop (observed live in r05 before this guard).
+    os.environ["_SHREDWORD_IN_DAEMON"] = "1"
     path = socket_path or default_socket_path()
+    # Exclusive lock: a second `serve` on the same path must exit, not
+    # silently steal the socket from a live (possibly busy) server.
+    import fcntl
+    lock_fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR, 0o600)
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        os.close(lock_fd)
+        print(f"[daemon] another server owns {path}; exiting",
+              flush=True)
+        return 1
     with contextlib.suppress(FileNotFoundError):
-        os.unlink(path)
+        os.unlink(path)          # stale socket only: the lock is ours
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(path)
     os.chmod(path, 0o600)
-    srv.listen(4)
+    srv.listen(16)               # busy-server clients queue here
     srv.settimeout(idle_timeout)
     # initialize the backend + persistent cache once, up front, so the
     # first command doesn't also pay backend discovery
@@ -148,6 +165,10 @@ def serve(socket_path: str | None = None,
         srv.close()
         with contextlib.suppress(FileNotFoundError):
             os.unlink(path)
+        with contextlib.suppress(OSError):
+            os.close(lock_fd)    # releases the flock
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(path + ".lock")
 
 
 # ---------------------------------------------------------------------------
@@ -183,11 +204,27 @@ def ping(socket_path: str | None = None) -> bool:
     return bool(r) and r.get("stdout") == "pong\n"
 
 
+def alive(socket_path: str | None = None) -> bool:
+    """Connect-level liveness: a LISTENING server accepts the connect
+    into its backlog even while busy running a long command, so this —
+    unlike ping() — never mistakes a busy daemon for a dead one (the
+    mistake that made clients spawn duplicate servers)."""
+    path = socket_path or default_socket_path()
+    try:
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.settimeout(5.0)
+        c.connect(path)
+        c.close()
+        return True
+    except OSError:
+        return False
+
+
 def start(socket_path: str | None = None, *, wait: float = 60.0,
           idle_timeout: float = 3600.0) -> bool:
-    """Spawn a detached daemon process; True once it answers a ping."""
+    """Spawn a detached daemon process; True once it is reachable."""
     path = socket_path or default_socket_path()
-    if ping(path):
+    if alive(path):
         return True
     log_path = path + ".log"
     with open(log_path, "ab") as log:
@@ -198,7 +235,7 @@ def start(socket_path: str | None = None, *, wait: float = 60.0,
             start_new_session=True)
     deadline = time.monotonic() + wait
     while time.monotonic() < deadline:
-        if ping(path):
+        if alive(path):
             return True
         time.sleep(0.2)
     return False
@@ -213,11 +250,14 @@ def run_client(argv: list[str], *, socket_path: str | None = None,
                auto_start: bool = True) -> int | None:
     """Route a CLI command through the daemon.  Returns the command's
     exit code, or None if no daemon could be reached/started (caller
-    should fall back to running locally)."""
+    should fall back to running locally).
+
+    Liveness is the connect probe, not a ping: a daemon busy with a
+    long train cannot answer a ping, but its listen backlog still
+    accepts the connect and this client simply waits its turn."""
     path = socket_path or default_socket_path()
-    if not ping(path):
-        if not (auto_start and start(path)):
-            return None
+    if not alive(path) and not (auto_start and start(path)):
+        return None
     stdin_text = ""
     if "-" in argv and not sys.stdin.isatty():
         stdin_text = sys.stdin.read()

@@ -29,7 +29,14 @@ def server(tmp_path_factory):
     sock = str(d / "d.sock")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["_SHREDWORD_IN_DAEMON"] = "1"
+    # deliberately hostile env: routing ON and pointed at this daemon's
+    # own socket.  serve() must set _SHREDWORD_IN_DAEMON so commands it
+    # handles execute locally — without that guard the daemon's own
+    # handler becomes a client of itself and auto-starts duplicate
+    # servers (the r05 spawn-loop incident).
+    env["SHREDWORD_DAEMON"] = "1"
+    env["SHREDWORD_DAEMON_SOCKET"] = sock
+    env.pop("_SHREDWORD_IN_DAEMON", None)
     env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
     log = open(str(d / "d.log"), "ab")
     proc = subprocess.Popen(
@@ -115,6 +122,30 @@ def test_env_routing_falls_back_without_daemon(tmp_path, monkeypatch):
         # local `info` raises on the missing file; the daemon path
         # would instead have returned an rc (exception swallowed)
         main(["info", str(tmp_path / "missing.model")])
+
+
+def test_second_serve_refuses_to_steal_socket(server):
+    """A second `daemon serve` on a live socket must exit without
+    stealing the path (flock guard) — stealing orphaned live servers
+    and multiplied daemons in the r05 incident."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    p = subprocess.run(
+        [sys.executable, "-m", "shredword_tpu", "daemon", "serve",
+         "--socket", server, "--idle-timeout", "5"],
+        capture_output=True, text=True, timeout=120, env=env,
+        cwd="/root/repo")
+    assert p.returncode == 1
+    assert "another server owns" in p.stdout
+    assert daemon.ping(server)          # original still serving
+
+
+def test_alive_connect_probe(server, tmp_path):
+    """alive() is a connect probe: true for the live server, false for
+    a missing socket — and unlike ping it would stay true while the
+    server is busy (the property that prevents duplicate auto-starts)."""
+    assert daemon.alive(server)
+    assert not daemon.alive(str(tmp_path / "missing.sock"))
 
 
 def test_env_routing_through_daemon(server, monkeypatch, capsys):
